@@ -1,0 +1,217 @@
+"""Waveform containers and acquisition.
+
+The reference passes ObsPy ``Stream`` objects everywhere and fetches data with
+the vendored ``waveform_collection.gather_waveforms`` (reference
+``example.py:16,91``), which also injects station coordinates into each
+trace's stats (read at ``example.py:92-93``).
+
+Here the on-host data contract is a plain dataclass, ``ArrayStream``: a dense
+``(nchans, npts)`` float array plus sampling rate, start time and coordinates.
+That is exactly the shape the device pipeline consumes, and it converts
+to/from ObsPy when ObsPy is installed (it is optional — nothing in the
+compute path needs it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from narrow_band_least_squares_tpu.utils.timeutils import parse_utc
+
+
+@dataclass
+class ArrayStream:
+    """Waveforms from one infrasound array on a common time base.
+
+    Attributes:
+        data: ``(nchans, npts)`` float64 array, one row per element [Pa].
+        fs: sampling rate [Hz].
+        start_epoch: POSIX epoch seconds of sample 0 (UTC).
+        latitudes / longitudes: per-element coordinates [deg].
+        ids: per-element channel identifiers (e.g. 'IM.I53H1..BDF').
+    """
+
+    data: np.ndarray
+    fs: float
+    start_epoch: float
+    latitudes: List[float]
+    longitudes: List[float]
+    ids: List[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.data = np.atleast_2d(np.asarray(self.data, dtype=np.float64))
+        if not self.ids:
+            self.ids = [f"CH{i}" for i in range(self.nchans)]
+        if len(self.latitudes) != self.nchans or len(self.longitudes) != self.nchans:
+            raise ValueError(
+                f"coordinate lists ({len(self.latitudes)}, {len(self.longitudes)}) "
+                f"do not match nchans={self.nchans}"
+            )
+
+    # -- shape / metadata ------------------------------------------------
+    @property
+    def nchans(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def npts(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def duration(self) -> float:
+        return self.npts / self.fs
+
+    def times_epoch(self) -> np.ndarray:
+        return self.start_epoch + np.arange(self.npts) / self.fs
+
+    def times_matplotlib(self) -> np.ndarray:
+        from narrow_band_least_squares_tpu.utils.timeutils import epoch_to_datenum
+        return epoch_to_datenum(self.times_epoch())
+
+    # -- transformations -------------------------------------------------
+    def copy(self) -> "ArrayStream":
+        return replace(
+            self,
+            data=self.data.copy(),
+            latitudes=list(self.latitudes),
+            longitudes=list(self.longitudes),
+            ids=list(self.ids),
+        )
+
+    def slice_samples(self, i0: int, i1: int) -> "ArrayStream":
+        out = self.copy()
+        out.data = self.data[:, i0:i1].copy()
+        out.start_epoch = self.start_epoch + i0 / self.fs
+        return out
+
+    # -- compatibility with ObsPy-style indexing used by plotting --------
+    def __len__(self) -> int:
+        return self.nchans
+
+    def __getitem__(self, i: int) -> "_TraceView":
+        return _TraceView(self, i)
+
+    # -- ObsPy bridge ----------------------------------------------------
+    @classmethod
+    def from_obspy(cls, st) -> "ArrayStream":
+        """Build from an ObsPy Stream whose traces carry .stats.latitude/longitude."""
+        npts = min(tr.stats.npts for tr in st)
+        data = np.stack([np.asarray(tr.data[:npts], dtype=np.float64) for tr in st])
+        return cls(
+            data=data,
+            fs=float(st[0].stats.sampling_rate),
+            start_epoch=float(st[0].stats.starttime.timestamp),
+            latitudes=[float(tr.stats.latitude) for tr in st],
+            longitudes=[float(tr.stats.longitude) for tr in st],
+            ids=[tr.id for tr in st],
+        )
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            data=self.data,
+            fs=self.fs,
+            start_epoch=self.start_epoch,
+            latitudes=np.asarray(self.latitudes),
+            longitudes=np.asarray(self.longitudes),
+            ids=np.asarray(self.ids),
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "ArrayStream":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            data=z["data"],
+            fs=float(z["fs"]),
+            start_epoch=float(z["start_epoch"]),
+            latitudes=[float(v) for v in z["latitudes"]],
+            longitudes=[float(v) for v in z["longitudes"]],
+            ids=[str(v) for v in z["ids"]],
+        )
+
+
+class _TraceView:
+    """Minimal ObsPy-Trace-like view so plotting code can do st[0].times()."""
+
+    def __init__(self, stream: ArrayStream, idx: int):
+        self._stream = stream
+        self._idx = idx
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._stream.data[self._idx]
+
+    def times(self, kind: str = "matplotlib") -> np.ndarray:
+        if kind == "matplotlib":
+            return self._stream.times_matplotlib()
+        if kind == "epoch":
+            return self._stream.times_epoch()
+        return np.arange(self._stream.npts) / self._stream.fs
+
+    def __array__(self, dtype=None, copy=None):
+        d = self.data
+        return np.asarray(d, dtype=dtype)
+
+    def __len__(self) -> int:
+        return self._stream.npts
+
+
+def gather_waveforms(
+    source: str,
+    network: str,
+    station: str,
+    location: str,
+    channel: str,
+    starttime,
+    endtime,
+    remove_response: bool = True,
+    cache: Optional[str] = None,
+) -> ArrayStream:
+    """Fetch waveforms + coordinates from an FDSN service into an ArrayStream.
+
+    Parity wrapper for the vendored ``waveform_collection.gather_waveforms``
+    contract (reference ``example.py:91``): merges channels to a common time
+    base, removes the instrument response when requested, and attaches
+    per-element coordinates.  Requires ObsPy (optional dependency); if a
+    ``cache`` .npz path exists, it is loaded instead of hitting the network.
+    """
+    import os
+
+    if cache and os.path.exists(cache):
+        return ArrayStream.load_npz(cache)
+
+    try:
+        from obspy.clients.fdsn import Client  # type: ignore
+        from obspy import UTCDateTime  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "gather_waveforms over FDSN requires ObsPy, which is not installed. "
+            "Use io.synthetic.synthetic_plane_wave, ArrayStream.load_npz, or "
+            "install obspy."
+        ) from e
+
+    client = Client(source)
+    t0 = UTCDateTime(parse_utc(starttime))
+    t1 = UTCDateTime(parse_utc(endtime))
+    st = client.get_waveforms(
+        network, station, location, channel, t0, t1, attach_response=True
+    )
+    st.merge(fill_value="interpolate")
+    st.trim(t0, t1, pad=True, fill_value=0.0)
+    if remove_response:
+        st.remove_response()
+    inv = client.get_stations(
+        network=network, station=station, location=location, channel=channel,
+        starttime=t0, endtime=t1, level="channel",
+    )
+    for tr in st:
+        coords = inv.get_coordinates(tr.id, t0)
+        tr.stats.latitude = coords["latitude"]
+        tr.stats.longitude = coords["longitude"]
+    out = ArrayStream.from_obspy(st)
+    if cache:
+        out.save_npz(cache)
+    return out
