@@ -1,0 +1,306 @@
+"""The flagship model: the whole narrow-band run as one jitted device step.
+
+Replaces the reference's per-band Python loop (sequential orchestrator at
+``narrow_band_least_squares.py:67-124``) and its joblib process fan-out
+(``:285``) with a single XLA computation over the dense
+``(band, window, pair)`` grid:
+
+    raw (C, T) --rfft--> filter bank (B, C, T) --gather--> (B, W, C, L)
+      --rfft/irfft--> delays+MdCCM (B, W, P) --2x2 solve / LTS sweep-->
+      vel/baz/sigma_tau/flags (B, W)
+
+Everything is statically shaped; ragged per-band window counts live in masks
+(the reference's own dense-prefix + num_compute_list contract, SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from narrow_band_least_squares_tpu.io.stream import ArrayStream
+from narrow_band_least_squares_tpu.ops import filters as F
+from narrow_band_least_squares_tpu.ops import lts as LTS
+from narrow_band_least_squares_tpu.ops import solve as SOLVE
+from narrow_band_least_squares_tpu.ops import xcorr as XC
+from narrow_band_least_squares_tpu.ops.windows import build_window_grid, extract_windows
+from narrow_band_least_squares_tpu.utils.geometry import coarray, get_rij
+from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
+from narrow_band_least_squares_tpu.utils.timeutils import (
+    epoch_to_datenum,
+    stdict_timestamp_key,
+)
+
+logger = logging.getLogger("nbls_tpu")
+
+
+@dataclass
+class NarrowBandResult:
+    """Dense results with the reference's pad-and-mask output contract."""
+
+    vel_array: np.ndarray        # (B, width)
+    baz_array: np.ndarray
+    mdccm_array: np.ndarray
+    t_array: np.ndarray          # matplotlib datenums
+    sig_tau_array: np.ndarray
+    vel_uncert_array: np.ndarray
+    baz_uncert_array: np.ndarray
+    num_compute_list: List[int]
+    flags: Optional[np.ndarray]  # (B, Wmax, P) bool, LTS only
+    pairs: np.ndarray            # (P, 2)
+    nchans: int
+    plan: NarrowBandPlan
+    w_array: Optional[np.ndarray] = None  # (B, F) complex, filter response
+    h_array: Optional[np.ndarray] = None
+
+    def stdict(self, band_prefix: bool = True):
+        """Materialize the reference's LTS flag dictionary (None for OLS)."""
+        if self.flags is None:
+            return None
+        return flags_to_stdict(
+            self.flags, self.t_array, self.num_compute_list, self.pairs,
+            self.nchans, band_prefix=band_prefix,
+        )
+
+
+def flags_to_stdict(
+    flags: np.ndarray,           # (B, Wmax, P) bool
+    t_array: np.ndarray,         # (B, width) datenums
+    num_compute_list: Sequence[int],
+    pairs: np.ndarray,           # (P, 2) 0-based
+    nchans: int,
+    band_prefix: bool = True,
+) -> Dict[str, object]:
+    """Dense flag tensor -> the reference's string-keyed stdict.
+
+    Keys are 7-decimal stringified window datenums, values 1-based element
+    numbers (one entry per flagged pair touching the element), one 'size'
+    key, and — when band_prefix — keys prefixed "NN_" by 1-based band number
+    (contract: reference ``narrow_band_least_squares.py:114-124``,
+    ``plotting.py:896-941``).
+    """
+    out: Dict[str, object] = {}
+    B = flags.shape[0]
+    for b in range(B):
+        for w in range(int(num_compute_list[b])):
+            flagged = np.where(flags[b, w])[0]
+            elements: List[int] = []
+            for p in flagged:
+                i, j = pairs[p]
+                elements.extend([int(i) + 1, int(j) + 1])
+            key = stdict_timestamp_key(t_array[b, w])
+            if band_prefix:
+                key = str(b + 1).zfill(2) + "_" + key
+            out[key] = np.asarray(elements, dtype=np.int64)
+    out["size"] = int(nchans)
+    return out
+
+
+class NarrowBandPipeline:
+    """Compiled narrow-band (or broadband) least-squares pipeline.
+
+    Host-side construction designs the filter bank and window grid once;
+    `run` executes the jitted step on device and re-packs results into the
+    reference's dense-output contract.
+
+    Args:
+        plan: static band/window plan (utils.plan.make_plan).
+        rij: (2, N) element coordinates [km].
+        filter_type/filter_order/filter_ripple: reference filter knobs.
+        alpha: 1.0 -> OLS, [0.5, 1) -> LTS.
+        apply_filter: False to consume pre-filtered data (the `ltsva`
+            call contract, where the caller has already run filter_data).
+        dtype: device compute dtype.
+    """
+
+    def __init__(
+        self,
+        plan: NarrowBandPlan,
+        rij: np.ndarray,
+        filter_type: str = "cheby1",
+        filter_order: int = 2,
+        filter_ripple: float = 0.01,
+        alpha: float = 1.0,
+        apply_filter: bool = True,
+        dtype=jnp.float32,
+        c_steps: int = 4,
+        taper_percentage: float = 0.01,
+        max_lts_candidates: int = 4096,
+    ):
+        self.plan = plan
+        self.rij = np.asarray(rij, dtype=np.float64)
+        self.alpha = float(alpha)
+        self.apply_filter = apply_filter
+        self.filter_type = filter_type
+        self.filter_order = filter_order
+        self.filter_ripple = filter_ripple
+        self.dtype = dtype
+        self.c_steps = c_steps
+        self.nchans = self.rij.shape[1]
+
+        # ---- geometry / solver constants (host) ----
+        X, pairs = coarray(self.rij)
+        self.X64 = X
+        self.pairs_np = pairs
+        lsq = SOLVE.precompute_lstsq(X)
+        self._X = jnp.asarray(X, dtype)
+        self._pinv = jnp.asarray(lsq["pinv"], dtype)
+        self._XtX_inv = jnp.asarray(lsq["XtX_inv"], dtype)
+        if self.alpha < 1.0:
+            cinfo = LTS.precompute_candidates(X, max_candidates=max_lts_candidates)
+            self._cand = jnp.asarray(cinfo["cand"])
+            self._Ainv = jnp.asarray(cinfo["Ainv"], dtype)
+            self._cand_ok = jnp.asarray(cinfo["ok"])
+            self.h = LTS.lts_h(self.alpha, X.shape[0])
+
+        # ---- filter bank (host design) ----
+        self.zerophase = filter_type == "butter"
+        if apply_filter:
+            edges = [plan.edges(b) for b in range(plan.nbands)]
+            h_bank, sos_list, L = F.build_filter_bank(
+                edges, filter_type, filter_order, filter_ripple,
+                plan.fs, plan.npts,
+            )
+            self.sos_list = sos_list
+            self._h_bank = jnp.asarray(h_bank, dtype)
+            self.nfft_filter = F.next_pow2(plan.npts + L)
+            for b, bt in enumerate(plan.bt_products()):
+                if bt < 5.0:
+                    lo, hi = plan.edges(b)
+                    logger.warning(
+                        "CAUTION: BT < 5! Band between %s Hz and %s Hz has BT = %s",
+                        lo, hi, bt,
+                    )
+        else:
+            self.sos_list = None
+        self._taper = jnp.asarray(F.taper_window(plan.npts, taper_percentage), dtype)
+
+        # ---- window grid (host) ----
+        grid = build_window_grid(plan)
+        self.grid = grid
+        self._idx = jnp.asarray(grid.idx)
+        self._win_mask = jnp.asarray(grid.win_mask)
+        self._len_mask = jnp.asarray(grid.len_mask, dtype)
+        self._lengths = jnp.asarray(grid.lengths, dtype)
+        self._lag_mask = jnp.asarray(grid.lag_mask)
+        self._pairs = jnp.asarray(pairs)
+        self.nfft_corr = F.next_pow2(2 * grid.Lmax)
+
+        # ---- window timestamps (host) ----
+        self._t_epoch_rel = np.zeros((plan.nbands, plan.width))
+        for b, wp in enumerate(plan.windows):
+            te = wp.end_times_epoch(0.0, plan.fs)
+            self._t_epoch_rel[b, : wp.n_windows] = te
+
+        self._step = jax.jit(self._make_step())
+        self._step_batch = jax.jit(jax.vmap(self._make_step()))
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        plan = self.plan
+        alpha = self.alpha
+        apply_filter = self.apply_filter
+
+        def step(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+            x = x.astype(self.dtype)
+            if apply_filter:
+                y = F.filter_bank_fft(
+                    x, self._h_bank, self._taper, self.nfft_filter,
+                    self.zerophase,
+                )
+            else:
+                # ltsva contract: caller already filtered+tapered the data
+                y = jnp.broadcast_to(x[None], (plan.nbands,) + x.shape)
+
+            win = extract_windows(y, self._idx, self._len_mask, self._lengths)
+            tau, rho, mdccm = XC.cross_correlate(
+                win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
+            )
+            if alpha == 1.0:
+                out = SOLVE.ols_solve(tau, self._X, self._pinv, self._XtX_inv)
+                retained = None
+            else:
+                out = LTS.lts_solve(
+                    tau, self._X, self._cand, self._Ainv, self._cand_ok,
+                    self.h, self.c_steps,
+                )
+                retained = out["retained"]
+
+            wm = self._win_mask
+            res = {
+                k: jnp.where(wm, out[k], 0.0)
+                for k in ("vel", "baz", "sig_tau", "vel_uncert", "baz_uncert")
+            }
+            res["mdccm"] = jnp.where(wm, mdccm, 0.0)
+            if retained is not None:
+                res["flags"] = (~retained) & wm[..., None]
+            return res
+
+        return step
+
+    # ------------------------------------------------------------------
+    def run(self, st: ArrayStream, freq_resp_list: Optional[np.ndarray] = None
+            ) -> NarrowBandResult:
+        """Execute on one ArrayStream (shape-checked against the plan)."""
+        if st.npts != self.plan.npts:
+            raise ValueError(
+                f"stream has {st.npts} samples but plan was built for {self.plan.npts}"
+            )
+        dev = self._step(jnp.asarray(st.data, self.dtype))
+        return self._package(dev, st.start_epoch, freq_resp_list)
+
+    def run_raw(self, data: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Raw device outputs for one (C, T) array (benchmark path)."""
+        return self._step(jnp.asarray(data, self.dtype))
+
+    def run_batch_raw(self, data: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Raw device outputs for a batch (A, C, T) of arrays (vmapped)."""
+        return self._step_batch(jnp.asarray(data, self.dtype))
+
+    # ------------------------------------------------------------------
+    def _package(
+        self, dev: Dict[str, jnp.ndarray], start_epoch: float,
+        freq_resp_list: Optional[np.ndarray],
+    ) -> NarrowBandResult:
+        plan = self.plan
+        B, width, Wmax = plan.nbands, plan.width, plan.max_windows
+
+        def dense(name):
+            a = np.zeros((B, width))
+            a[:, :Wmax] = np.asarray(dev[name], dtype=np.float64)
+            return a
+
+        t_array = epoch_to_datenum(
+            np.where(self._t_epoch_rel > 0, self._t_epoch_rel + start_epoch, 0.0)
+        )
+        flags = (
+            np.asarray(dev["flags"]) if "flags" in dev else None
+        )
+        w_array = h_array = None
+        if self.sos_list is not None and freq_resp_list is not None:
+            w_array, h_array = F.sosfreqz_bank(
+                self.sos_list, np.asarray(freq_resp_list), plan.fs
+            )
+        return NarrowBandResult(
+            vel_array=dense("vel"),
+            baz_array=dense("baz"),
+            mdccm_array=dense("mdccm"),
+            t_array=t_array,
+            sig_tau_array=dense("sig_tau"),
+            vel_uncert_array=dense("vel_uncert"),
+            baz_uncert_array=dense("baz_uncert"),
+            num_compute_list=list(plan.num_compute_list),
+            flags=flags,
+            pairs=self.pairs_np,
+            nchans=self.nchans,
+            plan=plan,
+            w_array=w_array,
+            h_array=h_array,
+        )

@@ -1,0 +1,158 @@
+"""Vectorized exact LTS (least trimmed squares) slowness estimation.
+
+The reference's robust mode runs FAST-LTS (Rousseeuw & Van Driessen) per
+window inside a Python loop: random elemental subsets + concentration
+C-steps over the n(n-1)/2 delay equations (SURVEY §3.4 / §7.4).  Because the
+slowness dimension is 2, elemental subsets are *pairs of equations* — so
+instead of random sampling, every C(P,2) candidate is enumerated and solved
+as a closed-form 2x2 system, and the C-steps become batched masked
+normal-equation refits.  All of (band, window, candidate) runs as one fused
+device computation.  Exhaustive enumeration dominates randomized FAST-LTS:
+it cannot miss the global optimum's basin.
+
+Retained-set size: ``h = clamp(floor(ALPHA * P), 3, P)`` equations
+(matching oracle._lts_solve).  Equations outside the optimal subset are the
+"flagged/dropped" pairs recorded in the reference's stdict.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from narrow_band_least_squares_tpu.ops.solve import (
+    masked_refit,
+    vel_baz_from_slowness,
+)
+
+SIGMA_TAU_DOF_SHIFT = 2
+
+
+def lts_h(alpha: float, P: int) -> int:
+    return max(3, min(int(np.floor(alpha * P)), P))
+
+
+def precompute_candidates(
+    X: np.ndarray, max_candidates: int = 4096, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    """Host-side elemental 2-subset enumeration and 2x2 inverses.
+
+    For large arrays (P > ~90) the full C(P,2) enumeration is subsampled to
+    ``max_candidates`` with a fixed-seed RNG (deterministic across runs).
+    """
+    P = X.shape[0]
+    cand = np.array(list(combinations(range(P), 2)), dtype=np.int32)
+    if len(cand) > max_candidates:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(cand), size=max_candidates, replace=False)
+        keep.sort()
+        cand = cand[keep]
+    A = X[cand]                       # (Q, 2, 2)
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    ok = np.abs(det) > 1e-12
+    safe = np.where(ok, det, 1.0)
+    Ainv = np.empty_like(A)
+    Ainv[:, 0, 0] = A[:, 1, 1] / safe
+    Ainv[:, 0, 1] = -A[:, 0, 1] / safe
+    Ainv[:, 1, 0] = -A[:, 1, 0] / safe
+    Ainv[:, 1, 1] = A[:, 0, 0] / safe
+    return {"cand": cand, "Ainv": Ainv, "ok": ok}
+
+
+def _rank_along_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Stable rank of each element along the last axis (0 = smallest)."""
+    order = jnp.argsort(x, axis=-1, stable=True)
+    return jnp.argsort(order, axis=-1, stable=True)
+
+
+def _residuals2(tau: jnp.ndarray, X: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    r = tau[..., None, :] - jnp.einsum("pk,...qk->...qp", X, s)
+    return r * r
+
+
+def lts_solve(
+    tau: jnp.ndarray,        # (..., P)
+    X: jnp.ndarray,          # (P, 2)
+    cand: jnp.ndarray,       # (Q, 2) int32
+    Ainv: jnp.ndarray,       # (Q, 2, 2)
+    cand_ok: jnp.ndarray,    # (Q,) bool
+    h: int,
+    c_steps: int = 4,
+) -> Dict[str, jnp.ndarray]:
+    """Batched exact-enumeration LTS.
+
+    Returns vel, baz, sig_tau, vel_uncert, baz_uncert, s, retained
+    (..., P bool; True = equation kept).
+    """
+    P = tau.shape[-1]
+    dof = max(h - SIGMA_TAU_DOF_SHIFT, 1)
+
+    # elemental 2x2 solves for every candidate: (..., Q, 2)
+    tau_pairs = tau[..., cand]                        # (..., Q, 2)
+    s = jnp.einsum("qij,...qj->...qi", Ainv, tau_pairs)
+
+    def c_step(_, s):
+        r2 = _residuals2(tau, X, s)                   # (..., Q, P)
+        rank = _rank_along_last(r2)
+        weight = (rank < h).astype(tau.dtype)
+        return masked_refit(tau[..., None, :], X, weight)
+
+    s = jax.lax.fori_loop(0, c_steps, c_step, s)
+
+    # objective: sum of the h smallest squared residuals of each candidate fit
+    r2 = _residuals2(tau, X, s)
+    rank = _rank_along_last(r2)
+    sel = (rank < h).astype(tau.dtype)
+    obj = jnp.sum(sel * r2, axis=-1)                  # (..., Q)
+    obj = jnp.where(cand_ok, obj, jnp.inf)
+    obj = jnp.where(jnp.isnan(obj), jnp.inf, obj)
+
+    best = jnp.argmin(obj, axis=-1)                   # (...,)
+    s_best = jnp.take_along_axis(
+        s, best[..., None, None], axis=-2
+    )[..., 0, :]                                      # (..., 2)
+
+    # final subset + refit (idempotent when converged, like the oracle)
+    r_best = tau - jnp.einsum("pk,...k->...p", X, s_best)
+    rank_b = _rank_along_last(r_best * r_best)
+    retained = rank_b < h                             # (..., P) bool
+    weight = retained.astype(tau.dtype)
+    s_fin = masked_refit(tau, X, weight)
+
+    r_fin = tau - jnp.einsum("pk,...k->...p", X, s_fin)
+    sigma2 = jnp.sum(weight * r_fin * r_fin, axis=-1) / dof
+    sig_tau = jnp.sqrt(sigma2)
+
+    # per-cell (Xs^T Xs)^-1 for the uncertainty ellipse
+    Xw = weight[..., None] * X
+    m00 = jnp.sum(Xw[..., 0] * X[..., 0], axis=-1)
+    m01 = jnp.sum(Xw[..., 0] * X[..., 1], axis=-1)
+    m11 = jnp.sum(Xw[..., 1] * X[..., 1], axis=-1)
+    det = m00 * m11 - m01 * m01
+    safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    i00, i01, i11 = m11 / safe, -m01 / safe, m00 / safe
+
+    sx, sy = s_fin[..., 0], s_fin[..., 1]
+    smag2 = jnp.maximum(sx * sx + sy * sy, 1e-30)
+    smag = jnp.sqrt(smag2)
+    gvx, gvy = -sx / (smag2 * smag), -sy / (smag2 * smag)
+    var_v = sigma2 * (i00 * gvx * gvx + 2 * i01 * gvx * gvy + i11 * gvy * gvy)
+    gtx, gty = -sy / smag2, sx / smag2
+    var_t = sigma2 * (i00 * gtx * gtx + 2 * i01 * gtx * gty + i11 * gty * gty)
+
+    vel, baz = vel_baz_from_slowness(s_fin)
+    return {
+        "vel": vel,
+        "baz": baz,
+        "sig_tau": sig_tau,
+        "vel_uncert": jnp.sqrt(jnp.maximum(var_v, 0.0)),
+        "baz_uncert": jnp.degrees(jnp.sqrt(jnp.maximum(var_t, 0.0))),
+        "s": s_fin,
+        "retained": retained,
+        "objective": jnp.min(obj, axis=-1),
+    }

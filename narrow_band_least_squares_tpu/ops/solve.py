@@ -1,0 +1,109 @@
+"""Batched slowness inversion: closed-form 2-parameter least squares.
+
+The co-array system ``tau = X s`` has only two unknowns, so the per-window
+SciPy ``lstsq`` of the reference's solver (SURVEY §3.4) collapses to a single
+einsum with a precomputed pseudo-inverse, batched over every (band, window)
+cell at once.  sigma_tau (Szuberla & Olson 2004 delay-consistency statistic)
+and the 1-sigma velocity/back-azimuth uncertainties come from the same
+residuals.  Conventions identical to oracle._ols_solve/_uncertainties.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+SIGMA_TAU_DOF_SHIFT = 2  # matches oracle.ltsva.SIGMA_TAU_DOF_SHIFT
+
+
+def precompute_lstsq(X: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side constants for the batched solve: pinv and (X^T X)^-1."""
+    XtX = X.T @ X
+    XtX_inv = np.linalg.inv(XtX)
+    pinv = XtX_inv @ X.T              # (2, P)
+    return {"X": X, "pinv": pinv, "XtX_inv": XtX_inv}
+
+
+def vel_baz_from_slowness(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """s: (..., 2) slowness [s/km] -> (trace velocity [km/s], back-azimuth [deg])."""
+    sx, sy = s[..., 0], s[..., 1]
+    smag = jnp.sqrt(sx * sx + sy * sy)
+    vel = jnp.where(smag > 0, 1.0 / jnp.maximum(smag, 1e-30), jnp.nan)
+    baz = jnp.degrees(jnp.arctan2(-sx, -sy)) % 360.0
+    return vel, baz
+
+
+def ols_solve(
+    tau: jnp.ndarray,        # (..., P)
+    X: jnp.ndarray,          # (P, 2)
+    pinv: jnp.ndarray,       # (2, P)
+    XtX_inv: jnp.ndarray,    # (2, 2)
+) -> Dict[str, jnp.ndarray]:
+    """Batched OLS.  Returns vel, baz, sig_tau, vel_uncert, baz_uncert, s, resid."""
+    P = tau.shape[-1]
+    s = jnp.einsum("kp,...p->...k", pinv, tau)
+    resid = tau - jnp.einsum("pk,...k->...p", X, s)
+    dof = max(P - SIGMA_TAU_DOF_SHIFT, 1)
+    sigma2 = jnp.sum(resid * resid, axis=-1) / dof
+    sig_tau = jnp.sqrt(sigma2)
+    vel, baz = vel_baz_from_slowness(s)
+    vel_uncert, baz_uncert = uncertainties(s, sigma2, XtX_inv)
+    return {
+        "vel": vel, "baz": baz, "sig_tau": sig_tau,
+        "vel_uncert": vel_uncert, "baz_uncert": baz_uncert,
+        "s": s, "resid": resid,
+    }
+
+
+def uncertainties(
+    s: jnp.ndarray,          # (..., 2)
+    sigma2: jnp.ndarray,     # (...)
+    XtX_inv: jnp.ndarray,    # (2, 2)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-sigma vel/baz uncertainties: linearized slowness-ellipse propagation."""
+    sx, sy = s[..., 0], s[..., 1]
+    smag2 = jnp.maximum(sx * sx + sy * sy, 1e-30)
+    smag = jnp.sqrt(smag2)
+    # cov = sigma2 * XtX_inv; quadratic forms g^T cov g
+    a, b_, c = XtX_inv[0, 0], XtX_inv[0, 1], XtX_inv[1, 1]
+
+    gvx = -sx / (smag2 * smag)
+    gvy = -sy / (smag2 * smag)
+    var_v = sigma2 * (a * gvx * gvx + 2 * b_ * gvx * gvy + c * gvy * gvy)
+
+    gtx = -sy / smag2
+    gty = sx / smag2
+    var_t = sigma2 * (a * gtx * gtx + 2 * b_ * gtx * gty + c * gty * gty)
+
+    return jnp.sqrt(jnp.maximum(var_v, 0.0)), jnp.degrees(
+        jnp.sqrt(jnp.maximum(var_t, 0.0))
+    )
+
+
+def masked_refit(
+    tau: jnp.ndarray,        # (..., P)
+    X: jnp.ndarray,          # (P, 2)
+    weight: jnp.ndarray,     # (..., P) 0/1 subset weights
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Weighted 2x2 normal-equation solve; the LTS C-step refit primitive.
+
+    Returns s (..., 2).  Degenerate subsets (singular normal matrix) return
+    zeros — callers mask them out via the objective.
+    """
+    Xw = weight[..., None] * X                          # (..., P, 2)
+    m00 = jnp.sum(Xw[..., 0] * X[..., 0], axis=-1)
+    m01 = jnp.sum(Xw[..., 0] * X[..., 1], axis=-1)
+    m11 = jnp.sum(Xw[..., 1] * X[..., 1], axis=-1)
+    b0 = jnp.sum(weight * tau * X[..., 0], axis=-1)
+    b1 = jnp.sum(weight * tau * X[..., 1], axis=-1)
+    det = m00 * m11 - m01 * m01
+    ok = jnp.abs(det) > eps
+    safe = jnp.where(ok, det, 1.0)
+    s0 = (b0 * m11 - b1 * m01) / safe
+    s1 = (b1 * m00 - b0 * m01) / safe
+    s = jnp.stack([jnp.where(ok, s0, 0.0), jnp.where(ok, s1, 0.0)], axis=-1)
+    return s

@@ -1,0 +1,168 @@
+"""Golden tests: the batched JAX/TPU path against the CPU oracle.
+
+Tolerances account for float32 device compute vs float64 oracle; delay
+argmaxes on near-tied correlation peaks may differ by a lag in a small
+fraction of (band, window, pair) cells, so window-level comparisons are
+quantile-based rather than elementwise-strict.
+"""
+
+import numpy as np
+import pytest
+
+from narrow_band_least_squares_tpu import api
+from narrow_band_least_squares_tpu.oracle.ltsva import (
+    filter_and_taper,
+    ltsva_oracle,
+    sliding_window_solve,
+)
+from narrow_band_least_squares_tpu.oracle.pipeline import (
+    narrow_band_least_squares_oracle,
+)
+from narrow_band_least_squares_tpu.utils.geometry import get_rij
+from narrow_band_least_squares_tpu.utils.plan import get_freqlist, get_winlenlist
+
+
+def circ_diff_deg(a, b):
+    return np.abs((a - b + 180.0) % 360.0 - 180.0)
+
+
+class TestFilterParity:
+    def test_cheby1_causal_matches_scipy(self, small_stream):
+        st = small_stream
+        ref, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.3, 1.2, 2, 0.01)
+        got, Fs, sos = api.filter_data(st, "cheby1", 0.3, 1.2, 2, 0.01)
+        assert Fs == st.fs
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got.data - ref)) < 2e-4 * scale
+
+    def test_butter_zerophase_close_in_interior(self, small_stream):
+        st = small_stream
+        ref, _ = filter_and_taper(st.data, st.fs, "butter", 0.3, 1.2, 2, 0.01)
+        got, _, _ = api.filter_data(st, "butter", 0.3, 1.2, 2, 0.01)
+        # |H|^2 zerophase differs from finite two-pass only near the trailing
+        # edge (truncated ringing); compare the interior 80%.
+        T = st.npts
+        i0, i1 = T // 10, (9 * T) // 10
+        scale = np.max(np.abs(ref))
+        assert np.max(np.abs(got.data[:, i0:i1] - ref[:, i0:i1])) < 5e-3 * scale
+
+
+class TestLtsvaParity:
+    def test_ols_outputs_match_oracle(self, small_stream):
+        st = small_stream
+        filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)
+        stf = st.copy()
+        stf.data = filt
+        o = ltsva_oracle(stf, st.latitudes, st.longitudes, 30.0, 0.5, 1.0)
+        g = api.ltsva(stf, st.latitudes, st.longitudes, 30.0, 0.5, 1.0)
+        vel_o, baz_o, t_o, mdccm_o, _, sig_o, vu_o, bu_o = o
+        vel_g, baz_g, t_g, mdccm_g, stdict_g, sig_g, vu_g, bu_g = g
+
+        assert stdict_g is None
+        assert len(vel_g) == len(vel_o)
+        np.testing.assert_allclose(t_g, t_o, rtol=0, atol=1e-9)
+        # >=90% of windows bitwise-same lags -> near-identical outputs
+        d_baz = circ_diff_deg(baz_g, baz_o)
+        assert np.quantile(d_baz, 0.9) < 0.5
+        assert np.median(np.abs(vel_g - vel_o)) < 5e-3
+        np.testing.assert_allclose(mdccm_g, mdccm_o, atol=5e-3)
+        assert np.median(np.abs(sig_g - sig_o)) < 5e-3
+        assert np.median(np.abs(vu_g - vu_o)) < 5e-3
+
+    def test_lts_flags_match_oracle(self, outlier_stream):
+        st = outlier_stream
+        filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)
+        stf = st.copy()
+        stf.data = filt
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        o = sliding_window_solve(
+            filt, rij, st.fs, st.start_epoch, 30.0, 0.5, 0.75
+        )
+        g = api.ltsva(stf, st.latitudes, st.longitudes, 30.0, 0.5, 0.75)
+        vel_g, baz_g, t_g, mdccm_g, stdict_g, sig_g, _, _ = g
+
+        # stdict contract: same keys as oracle (same timestamps), size key
+        assert stdict_g["size"] == st.nchans
+        o_keys = set(k for k in o["stdict"] if k != "size")
+        g_keys = set(k for k in stdict_g if k != "size")
+        assert o_keys == g_keys
+
+        # flags agree in the vast majority of (window, pair) cells
+        W = len(vel_g)
+        agree = 0
+        total = 0
+        for w, key in enumerate(sorted(o_keys)):
+            fo = set(map(tuple, np.asarray(o["stdict"][key]).reshape(-1, 2)
+                         )) if len(o["stdict"][key]) else set()
+            fg = set(map(tuple, np.asarray(stdict_g[key]).reshape(-1, 2)
+                         )) if len(stdict_g[key]) else set()
+            agree += len(fo & fg)
+            total += max(len(fo), len(fg), 1)
+        assert agree / total > 0.75
+
+        d_baz = circ_diff_deg(baz_g, o["baz"])
+        assert np.quantile(d_baz, 0.75) < 2.0
+
+
+class TestNarrowBandParity:
+    def test_full_pipeline_vs_oracle(self, small_stream):
+        st = small_stream
+        freqlist, nbands, _ = get_freqlist(0.2, 1.6, "log", 3)
+        winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
+        fr = np.logspace(-2, np.log10(st.fs / 2), 60)
+
+        o = narrow_band_least_squares_oracle(
+            winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
+            nbands, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        g = api.narrow_band_least_squares(
+            winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
+            nbands, None, None, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        vel_o, baz_o, mdccm_o, t_o, _, sig_o, num_o, w_o, h_o = o
+        vel_g, baz_g, mdccm_g, t_g, stdict_g, sig_g, num_g, w_g, h_g = g
+
+        assert stdict_g is None
+        assert list(num_g) == list(num_o)
+        assert vel_g.shape == vel_o.shape
+        np.testing.assert_allclose(w_g, w_o)
+        np.testing.assert_allclose(h_g, h_o)
+        for b in range(nbands):
+            n = num_g[b]
+            np.testing.assert_allclose(t_g[b, :n], t_o[b, :n], atol=1e-9)
+            np.testing.assert_allclose(mdccm_g[b, :n], mdccm_o[b, :n], atol=1e-2)
+            d = circ_diff_deg(baz_g[b, :n], baz_o[b, :n])
+            assert np.quantile(d, 0.9) < 1.0, f"band {b}"
+            assert np.median(np.abs(vel_g[b, :n] - vel_o[b, :n])) < 1e-2
+
+    def test_parallel_alias_identical(self, small_stream):
+        st = small_stream
+        freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+        winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+        fr = np.logspace(-2, np.log10(st.fs / 2), 10)
+        a = api.narrow_band_least_squares(
+            winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
+            nbands, None, None, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        b = api.narrow_band_least_squares_parallel(
+            winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
+            nbands, None, None, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestScanFilter:
+    def test_sosfilt_scan_matches_scipy(self):
+        from scipy import signal as ss
+        import jax.numpy as jnp
+        from narrow_band_least_squares_tpu.ops.filters import (
+            design_sos, sosfilt_scan,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, 500))
+        sos = design_sos("cheby1", 0.5, 2.0, 2, 0.01, 10.0)
+        ref = ss.sosfilt(sos, x, axis=-1)
+        got = np.asarray(sosfilt_scan(jnp.asarray(sos, jnp.float32),
+                                      jnp.asarray(x, jnp.float32)))
+        assert np.max(np.abs(got - ref)) < 1e-3 * np.max(np.abs(ref))
