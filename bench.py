@@ -1,0 +1,132 @@
+"""Benchmark: TPU pipeline vs the CPU reference on the canonical workload.
+
+The reference publishes no numbers (BASELINE.md), so the CPU baseline is the
+bundled oracle — a faithful NumPy/SciPy implementation of the reference's
+sequential path (filter per band + per-window xcorr/lstsq loops, the same
+algorithmic shape as helpers.py + lts_array).  The headline metric is the
+end-to-end speedup on the example.py workload (8 elements, 20 Hz, 20 min,
+8 log bands, adaptive 60->30 s windows, OLS).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "x", "vs_baseline": N}
+Details (per-config timings, solves/sec/chip) go to BENCH_DETAILS.json.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_canonical():
+    from narrow_band_least_squares_tpu.io.synthetic import synthetic_plane_wave
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+
+    st = synthetic_plane_wave(
+        nchans=8, duration_s=1200.0, fs=20.0, baz_deg=230.0,
+        trace_vel_kms=0.34, f0=0.8, bandwidth=1.2, snr=8.0, seed=42,
+    )
+    freqlist, nbands, _ = get_freqlist(0.1, 5.0, "log", 8)
+    winlens = get_winlenlist("adaptive", nbands, 50, 60, 30)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    return st, plan, freqlist, winlens, rij, nbands
+
+
+def bench_cpu_reference(st, freqlist, winlens, nbands, repeats=1):
+    from narrow_band_least_squares_tpu.oracle.pipeline import (
+        narrow_band_least_squares_oracle,
+    )
+
+    fr = np.logspace(-2, np.log10(st.fs / 2), 100)
+    times = []
+    out = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = narrow_band_least_squares_oracle(
+            winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
+            nbands, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def bench_tpu(pipe, x, repeats=20):
+    import jax
+
+    step = pipe._step
+    y = step(x)  # compile + warm
+    jax.block_until_ready(y)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        y = step(x)
+        jax.block_until_ready(y)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), y
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+
+    dev = jax.devices()[0]
+    st, plan, freqlist, winlens, rij, nbands = _build_canonical()
+    x = jnp.asarray(st.data, jnp.float32)
+
+    details = {"device": str(dev), "workload": "example.py canonical (synthetic)"}
+
+    # --- CPU reference (oracle = reference algorithmic shape) ---
+    t_cpu, cpu_out = bench_cpu_reference(st, freqlist, winlens, nbands)
+    details["cpu_reference_s"] = t_cpu
+
+    # --- TPU end-to-end OLS ---
+    pipe = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=1.0)
+    t_ols, y = bench_tpu(pipe, x)
+    details["tpu_ols_s"] = t_ols
+    n_solves = int(sum(plan.num_compute_list))
+    details["ols_solves_per_s_per_chip"] = n_solves / t_ols
+
+    # numerical sanity vs oracle on confident windows
+    vel = np.zeros_like(cpu_out[0])
+    vel[:, : plan.max_windows] = np.asarray(y["vel"], dtype=np.float64)
+    med_dev = float(np.nanmedian(np.abs(vel - cpu_out[0])[cpu_out[2] > 0.6]))
+    details["median_vel_dev_vs_oracle_kms"] = med_dev
+
+    # --- TPU LTS ---
+    pipe_lts = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=0.75)
+    t_lts, _ = bench_tpu(pipe_lts, x)
+    details["tpu_lts_s"] = t_lts
+    details["lts_solves_per_s_per_chip"] = n_solves / t_lts
+
+    # --- dense band sweep (50 bands) on one chip ---
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+    fl50, nb50, _ = get_freqlist(0.1, 5.0, "log", 50)
+    wl50 = get_winlenlist("adaptive", nb50, 50, 60, 30)
+    plan50 = make_plan(fl50, "log", wl50, 0.5, st.npts, st.fs)
+    pipe50 = NarrowBandPipeline(plan50, rij, filter_type="cheby1", alpha=1.0)
+    t50, _ = bench_tpu(pipe50, x, repeats=10)
+    details["tpu_dense50_s"] = t50
+    details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
+
+    speedup = t_cpu / t_ols
+    details["e2e_speedup_vs_cpu"] = speedup
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps({
+        "metric": "example.py e2e speedup vs CPU reference (single chip)",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(speedup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

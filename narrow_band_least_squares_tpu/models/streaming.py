@@ -1,0 +1,210 @@
+"""Continuous-monitoring pipeline: segmented runs + checkpoint/resume.
+
+The reference's long-duration workflow (SURVEY §3.5) is manual: run the
+orchestrator per day/segment, persist TSV files (``helpers.py:161``),
+accumulate, re-read (``helpers.py:185``) and plot with ``baz_freq_plot``
+("Optimized for weeks/months", reference ``plotting.py:1182``).  The
+append/restart text files are its de-facto checkpoint/resume mechanism.
+
+`StreamingMonitor` makes that a first-class subsystem:
+
+- a long waveform (or an iterator of chunks) is tiled into fixed segments,
+- segments run on the single-chip pipeline or the sharded (time, band) mesh,
+- each segment's dense results are persisted in the reference TSV format
+  (plus a compact .npz with flags/uncertainties),
+- **resume** skips segments whose outputs already exist,
+- a NaN-guard masks non-finite solves instead of crashing (the reference's
+  joblib path dies on any worker exception, SURVEY §5),
+- `read_all` re-assembles everything for the monitoring figure.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from narrow_band_least_squares_tpu.io.stream import ArrayStream
+from narrow_band_least_squares_tpu.io.textio import read_txtfile, write_txtfile
+from narrow_band_least_squares_tpu.utils.geometry import get_rij
+from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
+from narrow_band_least_squares_tpu.utils.timeutils import epoch_to_datenum
+
+logger = logging.getLogger("nbls_tpu.streaming")
+
+
+def _nan_guard(arr: np.ndarray) -> np.ndarray:
+    """Non-finite solves become zeros (masked, not fatal)."""
+    return np.where(np.isfinite(arr), arr, 0.0)
+
+
+@dataclass
+class SegmentRecord:
+    start_epoch: float
+    path_txt: str
+    path_npz: str
+
+
+class StreamingMonitor:
+    """Segmented narrow-band monitoring with persistence and resume.
+
+    Args:
+        plan: per-segment plan (npts = segment length).
+        rij: (2, N) array geometry [km].
+        save_dir: directory for per-segment TSV/npz outputs.
+        mesh: optional Mesh; when given, segments are processed in
+            mesh-sized batches on the sharded pipeline.
+    """
+
+    def __init__(
+        self,
+        plan: NarrowBandPlan,
+        rij: np.ndarray,
+        save_dir: str,
+        freqlist: Sequence[float],
+        filter_type: str = "cheby1",
+        filter_order: int = 2,
+        filter_ripple: float = 0.01,
+        alpha: float = 1.0,
+        mesh=None,
+        max_retries: int = 1,
+    ):
+        self.plan = plan
+        self.freqlist = list(freqlist)
+        self.save_dir = save_dir
+        self.alpha = alpha
+        self.max_retries = max_retries
+        os.makedirs(save_dir, exist_ok=True)
+
+        from narrow_band_least_squares_tpu.parallel.mesh import make_mesh
+        from narrow_band_least_squares_tpu.parallel.sharded import (
+            ShardedNarrowBandPipeline,
+        )
+
+        if mesh is None:
+            mesh = make_mesh(1, 1)  # single device, same code path
+        self.pipe = ShardedNarrowBandPipeline(
+            plan, rij, mesh,
+            filter_type=filter_type, filter_order=filter_order,
+            filter_ripple=filter_ripple, alpha=alpha,
+        )
+        self.batch = mesh.shape["time"]
+
+    # ------------------------------------------------------------------
+    def _seg_name(self, start_epoch: float) -> str:
+        return f"nbls_{start_epoch:.0f}"
+
+    def _seg_done(self, start_epoch: float) -> bool:
+        return os.path.exists(
+            os.path.join(self.save_dir, self._seg_name(start_epoch) + ".txt")
+        )
+
+    def segment_starts(self, st: ArrayStream) -> List[Tuple[int, float]]:
+        """(sample_offset, start_epoch) of each whole segment in the stream."""
+        Tseg = self.plan.npts
+        n = st.npts // Tseg
+        return [
+            (k * Tseg, st.start_epoch + k * Tseg / st.fs) for k in range(n)
+        ]
+
+    # ------------------------------------------------------------------
+    def process(self, st: ArrayStream, resume: bool = True) -> List[SegmentRecord]:
+        """Run every (not-yet-done) segment of a stream; persist results."""
+        todo = [
+            (off, t0) for off, t0 in self.segment_starts(st)
+            if not (resume and self._seg_done(t0))
+        ]
+        done_records: List[SegmentRecord] = []
+        if not todo:
+            return done_records
+
+        # mesh-sized super-batches of halo-extended segments; halos come
+        # from the raw stream so non-contiguous resume batches stay exact
+        for i in range(0, len(todo), self.batch):
+            chunk = todo[i : i + self.batch]
+            real = len(chunk)
+            if real < self.batch:
+                # pad by repeating the last segment; padded outputs dropped
+                chunk = chunk + [chunk[-1]] * (self.batch - real)
+            x_ext = self.pipe.extend_segments(
+                st.data, [off for off, _ in chunk]
+            )
+            out = self._run_with_retry(lambda: self.pipe.run_extended(x_ext))
+            for s in range(real):
+                done_records.append(self._persist_segment(out, s, chunk[s][1]))
+        return done_records
+
+    def _run_with_retry(self, fn):
+        last = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn()
+            except Exception as e:  # pragma: no cover - depends on runtime faults
+                logger.warning("segment attempt %d failed: %s", attempt, e)
+                last = e
+        raise last
+
+    # ------------------------------------------------------------------
+    def _persist_segment(self, out: Dict[str, np.ndarray], s: int,
+                         t0: float) -> SegmentRecord:
+        """Persist one segment from a sharded batch result dict."""
+        plan = self.plan
+        width = plan.width
+        B = plan.nbands
+
+        def dense(name):
+            a = np.zeros((B, width))
+            a[:, : plan.max_windows] = _nan_guard(np.asarray(out[name][s]))
+            return a
+
+        t_array = np.zeros((B, width))
+        for b, wp in enumerate(plan.windows):
+            t_array[b, : wp.n_windows] = epoch_to_datenum(
+                wp.end_times_epoch(t0, plan.fs)
+            )
+        flags = np.asarray(out["flags"][s]) if "flags" in out else None
+        return self._write(dense("vel"), dense("baz"), dense("mdccm"),
+                           dense("sig_tau"), t_array, flags, t0)
+
+    def _write(self, vel, baz, mdccm, sig_tau, t_array, flags,
+               t0: float) -> SegmentRecord:
+        name = self._seg_name(t0)
+        path_txt = write_txtfile(
+            self.save_dir, name, vel, baz, mdccm, t_array,
+            self.freqlist, self.plan.num_compute_list,
+        )
+        path_npz = os.path.join(self.save_dir, name + ".npz")
+        np.savez_compressed(
+            path_npz, vel=vel, baz=baz, mdccm=mdccm, sig_tau=sig_tau,
+            t=t_array, flags=(flags if flags is not None else np.zeros(0)),
+            num_compute=np.asarray(self.plan.num_compute_list),
+        )
+        return SegmentRecord(t0, path_txt, path_npz)
+
+    # ------------------------------------------------------------------
+    def read_all(self):
+        """Concatenate all persisted segments (sorted by time) into dense
+        arrays shaped for `plotting.baz_freq_plot`."""
+        names = sorted(
+            f[:-4] for f in os.listdir(self.save_dir)
+            if f.startswith("nbls_") and f.endswith(".txt")
+        )
+        if not names:
+            raise FileNotFoundError(f"no segments persisted in {self.save_dir}")
+        segs = [read_txtfile(self.save_dir, n) for n in names]
+        nums = np.stack([np.asarray(s[5]) for s in segs])   # (nseg, B)
+        num_total = nums.sum(axis=0)
+        B = segs[0][0].shape[0]
+        width = int(num_total.max())
+        vel, baz, mdccm, t = (np.zeros((B, width)) for _ in range(4))
+        for b in range(B):
+            pos = 0
+            for si, s in enumerate(segs):
+                n_seg = int(nums[si, b])
+                for dst, src in ((vel, s[0]), (baz, s[1]), (mdccm, s[2]), (t, s[3])):
+                    dst[b, pos : pos + n_seg] = src[b, :n_seg]
+                pos += n_seg
+        return vel, baz, mdccm, t, [int(v) for v in num_total]

@@ -120,7 +120,7 @@ def build_filter_bank(
 def filter_bank_fft(
     x: jnp.ndarray,          # (C, T) raw waveforms
     h_bank: jnp.ndarray,     # (B, L) impulse responses
-    taper: jnp.ndarray,      # (T,)
+    taper: Optional[jnp.ndarray],  # (T,) or None (sharded path tapers later)
     nfft: int,               # static, >= next_pow2(T + L)
     zerophase: bool,         # butter: two-pass |H|^2; cheby1: causal H
 ) -> jnp.ndarray:
@@ -140,7 +140,9 @@ def filter_bank_fft(
         Hf = Hf * jnp.conj(Hf)                     # real, zero-phase
     Yf = Xf[None, :, :] * Hf[:, None, :]           # (B, C, F)
     y = jnp.fft.irfft(Yf, n=nfft, axis=-1)[..., :T]
-    return y * taper[None, None, :]
+    if taper is not None:
+        y = y * taper[None, None, :]
+    return y
 
 
 def sosfilt_scan(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,83 @@
+"""Device meshes for the narrow-band workload.
+
+The workload's two natural scaling axes are contiguous **time segments** and
+**frequency bands** (SURVEY §2.3): the reference's only intra-run parallelism
+is a joblib process per band (reference ``narrow_band_least_squares.py:285``),
+and its only long-duration mechanism is chunked re-runs (SURVEY §3.5).  Here
+both become axes of a ``jax.sharding.Mesh``:
+
+    mesh = Mesh(devices.reshape(nt, nb), ("time", "band"))
+
+Time-segment shards exchange an IIR-warmup halo with their left neighbor
+over ICI/DCN (`parallel.sharded`); bands need no communication at all.
+Multi-host runs initialize ``jax.distributed`` and lay time along the
+outer (DCN) axis so the only cross-host traffic is the thin halo.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+TIME_AXIS = "time"
+BAND_AXIS = "band"
+
+
+def auto_mesh_shape(n_devices: int, nbands: Optional[int] = None) -> Tuple[int, int]:
+    """Pick (time_shards, band_shards) for n devices.
+
+    Prefers band sharding up to the band count (zero-communication), then
+    time sharding (halo-only communication).
+    """
+    nb = 1
+    if nbands:
+        # largest divisor of n_devices that divides nbands
+        for cand in range(min(n_devices, nbands), 0, -1):
+            if n_devices % cand == 0 and nbands % cand == 0:
+                nb = cand
+                break
+    nt = n_devices // nb
+    return nt, nb
+
+
+def make_mesh(
+    time_shards: int,
+    band_shards: int,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = time_shards * band_shards
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh {time_shards}x{band_shards} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(time_shards, band_shards)
+    return Mesh(dev, (TIME_AXIS, BAND_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (``jax.distributed.initialize``).
+
+    No-op on a single host.  On a pod slice, call once per host before any
+    device computation; afterwards ``jax.devices()`` spans the slice and
+    `make_mesh` lays the time axis across hosts (outer dimension) so halo
+    exchange rides DCN while band sharding stays on-host over ICI.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -8,7 +8,7 @@ before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force even when a TPU is attached
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The axon TPU plugin (sitecustomize) forces jax_platforms at interpreter
+# start, overriding the env var — override it back before backend init.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

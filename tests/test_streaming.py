@@ -1,0 +1,80 @@
+"""Streaming monitor tests: segmentation, persistence, resume, assembly."""
+
+import os
+
+import numpy as np
+import pytest
+
+from narrow_band_least_squares_tpu.io.synthetic import synthetic_plane_wave
+from narrow_band_least_squares_tpu.models.streaming import StreamingMonitor
+from narrow_band_least_squares_tpu.utils.geometry import get_rij
+from narrow_band_least_squares_tpu.utils.plan import (
+    get_freqlist,
+    get_winlenlist,
+    make_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def monitor_setup(tmp_path_factory):
+    st = synthetic_plane_wave(
+        nchans=4, duration_s=1000.0, fs=10.0, baz_deg=45.0,
+        trace_vel_kms=0.33, f0=0.6, bandwidth=0.8, snr=10.0, seed=33,
+    )
+    freqlist, nbands, _ = get_freqlist(0.3, 1.5, "log", 2)
+    winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+    plan = make_plan(freqlist, "log", winlens, 0.5, int(200 * st.fs), st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    save_dir = str(tmp_path_factory.mktemp("mon"))
+    mon = StreamingMonitor(plan, rij, save_dir, freqlist, alpha=1.0)
+    return st, mon, save_dir
+
+
+def test_process_and_resume(monitor_setup):
+    st, mon, save_dir = monitor_setup
+    recs = mon.process(st)
+    assert len(recs) == 5  # 1000s / 200s segments
+    files = [f for f in os.listdir(save_dir) if f.endswith(".txt")]
+    assert len(files) == 5
+    # resume: nothing left to do
+    recs2 = mon.process(st)
+    assert recs2 == []
+    # deleting one segment re-processes exactly that one
+    os.remove(recs[2].path_txt)
+    recs3 = mon.process(st)
+    assert len(recs3) == 1
+    assert abs(recs3[0].start_epoch - recs[2].start_epoch) < 1e-6
+
+
+def test_read_all_assembles(monitor_setup):
+    st, mon, save_dir = monitor_setup
+    mon.process(st)
+    vel, baz, mdccm, t, num = mon.read_all()
+    assert vel.shape[0] == mon.plan.nbands
+    assert len(num) == mon.plan.nbands
+    # windows accumulate across segments and times are increasing
+    for b in range(mon.plan.nbands):
+        tb = t[b, : num[b]]
+        assert np.all(np.diff(tb) > 0)
+    good = mdccm > 0.6
+    assert good.sum() > 0
+    d = np.abs((baz[good] - 45.0 + 180.0) % 360.0 - 180.0)
+    assert np.median(d) < 6.0
+
+
+def test_sharded_monitor_matches_single(monitor_setup, tmp_path):
+    st, mon, _ = monitor_setup
+    from narrow_band_least_squares_tpu.parallel import make_mesh
+
+    mesh = make_mesh(2, 2)
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
+        alpha=1.0, mesh=mesh,
+    )
+    mon2.process(st)
+    v1, b1, m1, t1, n1 = mon.read_all()
+    v2, b2, m2, t2, n2 = mon2.read_all()
+    assert n1[:len(n2)] == n2 or n1 == n2
+    k = min(v1.shape[1], v2.shape[1])
+    np.testing.assert_allclose(v1[:, :k], v2[:, :k], atol=2e-4)
+    np.testing.assert_allclose(m1[:, :k], m2[:, :k], atol=2e-4)
