@@ -209,6 +209,76 @@ def narrow_band_least_squares(
     )
 
 
+def narrow_band_loop(
+    ii: int,
+    freqlist: Sequence[float],
+    FREQ_BAND_TYPE: str,
+    freq_resp_list: np.ndarray,
+    st: ArrayStream,
+    FILTER_TYPE: str,
+    FILTER_ORDER: int,
+    FILTER_RIPPLE: float,
+    lat_list: Sequence[float],
+    lon_list: Sequence[float],
+    WINLEN_list: Sequence[float],
+    WINOVER: float,
+    ALPHA: float,
+    vector_len: int,
+):
+    """One band's work, the reference's parallel-worker contract.
+
+    Mirrors reference ``narrow_band_least_squares.py:134-218``: returns the
+    10-tuple ``(vel, baz, mdccm, t, stdict_times, stdict_elements, sig_tau,
+    num_compute, w, h)`` with every vector padded to ``vector_len`` and the
+    band's stdict flattened into two parallel object arrays (the pickle
+    boundary workaround the reference needed for joblib).  Kept for drop-in
+    compatibility; new code should call `narrow_band_least_squares` once for
+    all bands.
+    """
+    from scipy import signal as _signal
+
+    from narrow_band_least_squares_tpu.utils.plan import band_edges
+    from narrow_band_least_squares_tpu.ops.filters import design_sos
+
+    tempfmin, tempfmax = band_edges(freqlist, ii, FREQ_BAND_TYPE)
+    stf, Fs, sos = filter_data(
+        st, FILTER_TYPE, tempfmin, tempfmax, FILTER_ORDER, FILTER_RIPPLE
+    )
+    w_temp, h_temp = _signal.sosfreqz(sos, freq_resp_list, fs=Fs)
+
+    temp_BT = WINLEN_list[ii] * (tempfmax - tempfmin)
+    if temp_BT < 5.0:
+        print(
+            "CAUTION: BT < 5! Band between " + str(tempfmin) + " Hz and "
+            + str(tempfmax) + " Hz has BT = " + str(temp_BT)
+        )
+
+    vel, baz, t, mdccm, stdict, sig_tau, _, _ = ltsva(
+        stf, lat_list, lon_list, WINLEN_list[ii], WINOVER, ALPHA
+    )
+    num_compute = np.array(len(vel))
+    pad = (0, vector_len - int(num_compute))
+    vel_f = np.pad(make_float(vel), pad)
+    baz_f = np.pad(make_float(baz), pad)
+    mdccm_f = np.pad(make_float(mdccm), pad)
+    t_f = np.pad(make_float(t), pad)
+    sig_f = np.pad(make_float(sig_tau), pad)
+
+    if ALPHA == 1.0:
+        stdict_times = None
+        stdict_elements = None
+    else:
+        items = list(stdict.items())
+        arr = np.array(items, dtype=object)
+        stdict_times = arr[:, 0]
+        stdict_elements = arr[:, 1]
+
+    return (
+        vel_f, baz_f, mdccm_f, t_f, stdict_times, stdict_elements,
+        sig_f, num_compute, w_temp, h_temp,
+    )
+
+
 def narrow_band_least_squares_parallel(*args, **kwargs):
     """Parity alias for the reference's joblib path.
 

@@ -133,7 +133,13 @@ class NarrowBandPipeline:
         c_steps: int = 4,
         taper_percentage: float = 0.01,
         max_lts_candidates: int = 4096,
+        xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft'
     ):
+        from narrow_band_least_squares_tpu.utils.compcache import (
+            enable_compilation_cache,
+        )
+        enable_compilation_cache()
+
         self.plan = plan
         self.rij = np.asarray(rij, dtype=np.float64)
         self.alpha = float(alpha)
@@ -192,6 +198,13 @@ class NarrowBandPipeline:
         self._lag_mask = jnp.asarray(grid.lag_mask)
         self._pairs = jnp.asarray(pairs)
         self.nfft_corr = F.next_pow2(2 * grid.Lmax)
+        self.xcorr_method = xcorr_method
+        if xcorr_method == "mxu":
+            tab = XC.precompute_dft_tables(grid.Lmax, dtype=np.dtype(dtype))
+            self._dft_tables = {
+                k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k, v in tab.items()
+            }
 
         # ---- window timestamps (host) ----
         self._t_epoch_rel = np.zeros((plan.nbands, plan.width))
@@ -220,9 +233,14 @@ class NarrowBandPipeline:
                 y = jnp.broadcast_to(x[None], (plan.nbands,) + x.shape)
 
             win = extract_windows(y, self._idx, self._len_mask, self._lengths)
-            tau, rho, mdccm = XC.cross_correlate(
-                win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
-            )
+            if self.xcorr_method == "mxu":
+                tau, rho, mdccm = XC.cross_correlate_mxu(
+                    win, self._pairs, self._lag_mask, self._dft_tables, plan.fs
+                )
+            else:
+                tau, rho, mdccm = XC.cross_correlate(
+                    win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
+                )
             if alpha == 1.0:
                 out = SOLVE.ols_solve(tau, self._X, self._pinv, self._XtX_inv)
                 retained = None

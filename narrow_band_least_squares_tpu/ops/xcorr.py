@@ -14,10 +14,11 @@ Conventions (identical to oracle._xcorr_delays):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -56,4 +57,91 @@ def cross_correlate(
     rho = jnp.where(denom > 0, peak / denom, 0.0)
 
     mdccm = jnp.median(rho, axis=-1)                   # (B, W)
+    return tau, rho, mdccm
+
+
+# --------------------------------------------------------------------------
+# MXU path: DFT-as-matmul cross-correlation
+# --------------------------------------------------------------------------
+#
+# XLA's FFT on TPU underuses the MXU; the whole transform chain here is
+# small enough to write as explicit (real) DFT matmuls instead, which run at
+# matmul speed on the systolic array:
+#
+#   spectra:      F = win @ [C_f | S_f]          (L x K cos/sin tables)
+#   cross-spec:   CS = F_j * conj(F_i)           (elementwise, VPU)
+#   correlation:  cc = Re(CS) @ E_c - Im(CS) @ E_s   (K x nlag tables)
+#
+# with nfft any integer >= 2*Lmax - 1 (no power-of-2 constraint) and the
+# inverse evaluated ONLY at the 2*Lmax-1 physical lags.  Numerically this is
+# the same circular-correlation identity the FFT path uses; tables are built
+# in float64 on host and cast to the compute dtype.
+
+def precompute_dft_tables(Lmax: int, dtype=np.float32,
+                          nfft: int | None = None) -> Dict[str, np.ndarray]:
+    n = int(nfft) if nfft else 2 * Lmax  # >= 2*Lmax - 1
+    K = n // 2 + 1
+    t = np.arange(Lmax)[:, None]                    # (L, 1)
+    k = np.arange(K)[None, :]                       # (1, K)
+    ang_f = 2.0 * np.pi * t * k / n
+    Cf = np.cos(ang_f)
+    Sf = np.sin(ang_f)
+
+    lags = np.arange(-(Lmax - 1), Lmax)             # ascending, 'full' order
+    m = np.mod(lags, n)[None, :]                    # (1, nlag)
+    w = np.full((K, 1), 2.0)
+    w[0, 0] = 1.0
+    if n % 2 == 0:
+        w[-1, 0] = 1.0
+    ang_i = 2.0 * np.pi * np.arange(K)[:, None] * m / n
+    Ec = (w / n) * np.cos(ang_i)
+    Es = (w / n) * np.sin(ang_i)
+    return {
+        "Cf": Cf.astype(dtype), "Sf": Sf.astype(dtype),
+        "Ec": Ec.astype(dtype), "Es": Es.astype(dtype),
+        "nfft": n,
+    }
+
+
+def cross_correlate_mxu(
+    win: jnp.ndarray,        # (B, W, C, Lmax) demeaned, zero-padded windows
+    pairs: jnp.ndarray,      # (P, 2) int32
+    lag_mask: jnp.ndarray,   # (B, 2*Lmax-1) bool
+    tables: Dict[str, jnp.ndarray],
+    fs: float,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MXU cross-correlation; same contract as `cross_correlate`."""
+    B, W, C, Lmax = win.shape
+    energy = jnp.sum(win * win, axis=-1)
+
+    mm = lambda a, b: jnp.dot(a, b, precision=precision,
+                              preferred_element_type=jnp.float32)
+    flat = win.reshape(B * W * C, Lmax)
+    ReF = mm(flat, tables["Cf"]).reshape(B, W, C, -1)
+    ImF = (-mm(flat, tables["Sf"])).reshape(B, W, C, -1)
+
+    ReI, ImI = ReF[:, :, pairs[:, 0], :], ImF[:, :, pairs[:, 0], :]
+    ReJ, ImJ = ReF[:, :, pairs[:, 1], :], ImF[:, :, pairs[:, 1], :]
+    ReCS = ReJ * ReI + ImJ * ImI                     # F_j * conj(F_i)
+    ImCS = ImJ * ReI - ReJ * ImI
+
+    K = ReCS.shape[-1]
+    P = pairs.shape[0]
+    cc_lin = (
+        mm(ReCS.reshape(-1, K), tables["Ec"])
+        - mm(ImCS.reshape(-1, K), tables["Es"])
+    ).reshape(B, W, P, -1)                           # (B, W, P, 2*Lmax-1)
+
+    mask = lag_mask[:, None, None, :]
+    cc_masked = jnp.where(mask, cc_lin, -jnp.inf)
+    k_idx = jnp.argmax(cc_masked, axis=-1)
+    peak = jnp.max(cc_masked, axis=-1)
+    tau = (k_idx.astype(win.dtype) - (Lmax - 1)) / fs
+
+    Ei = energy[:, :, pairs[:, 0]]
+    Ej = energy[:, :, pairs[:, 1]]
+    denom = jnp.sqrt(Ei * Ej)
+    rho = jnp.where(denom > 0, peak / denom, 0.0)
+    mdccm = jnp.median(rho, axis=-1)
     return tau, rho, mdccm

@@ -124,9 +124,14 @@ class ShardedNarrowBandPipeline:
             y = F.filter_bank_fft(x_ext, h_bank, None, nfft_ext, base.zerophase)
             y = y[..., halo:] * base._taper[None, None, :]
             win = extract_windows(y, idx, len_mask, lengths)
-            tau, rho, mdccm = XC.cross_correlate(
-                win, base._pairs, lag_mask, base.nfft_corr, plan.fs
-            )
+            if base.xcorr_method == "mxu":
+                tau, rho, mdccm = XC.cross_correlate_mxu(
+                    win, base._pairs, lag_mask, base._dft_tables, plan.fs
+                )
+            else:
+                tau, rho, mdccm = XC.cross_correlate(
+                    win, base._pairs, lag_mask, base.nfft_corr, plan.fs
+                )
             if alpha == 1.0:
                 out = SOLVE.ols_solve(tau, base._X, base._pinv, base._XtX_inv)
                 retained = None
