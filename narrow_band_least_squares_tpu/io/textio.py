@@ -27,15 +27,26 @@ def write_txtfile(
     freqlist: Sequence[float],
     num_compute_list: Sequence[int],
     verbose: bool = False,
+    use_native: bool = True,
 ) -> str:
     """Write results as TSV; returns the path written.
 
     Same layout as reference ``helpers.py:161-182``: header line, then
     ``num_compute_list[b]`` rows per band of
-    ``Fmin Fmax Time Trace_vel Backaz MdCCM``.
+    ``Fmin Fmax Time Trace_vel Backaz MdCCM``.  Uses the C++ codec
+    (native/textio.cpp) when built — the Python row loop dominates host
+    time at monitoring scale — with identical bytes either way.
     """
     os.makedirs(save_dir or ".", exist_ok=True)
     path = os.path.join(save_dir, fname + ".txt")
+
+    if use_native and not verbose:
+        out = _write_native(
+            path, vel_array, baz_array, mdccm_array, t_array,
+            freqlist, num_compute_list,
+        )
+        if out:
+            return out
     with open(path, "w") as f:
         f.write("Fmin \t Fmax \t Time \t Trace_vel \t Backaz \t MdCCM \n")
         for ii in range(len(num_compute_list)):
@@ -50,7 +61,62 @@ def write_txtfile(
     return path
 
 
-def read_txtfile(save_dir: str, fname: str):
+def _write_native(path, vel_array, baz_array, mdccm_array, t_array,
+                  freqlist, num_compute_list) -> str | None:
+    """C++ fast path; returns the path on success, None to fall back."""
+    try:
+        from narrow_band_least_squares_tpu.native import get_lib
+    except ImportError:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    nbands = len(num_compute_list)
+    vel = np.ascontiguousarray(vel_array, dtype=np.float64)
+    baz = np.ascontiguousarray(baz_array, dtype=np.float64)
+    mdccm = np.ascontiguousarray(mdccm_array, dtype=np.float64)
+    t = np.ascontiguousarray(t_array, dtype=np.float64)
+    fl = np.ascontiguousarray(np.asarray(freqlist, dtype=np.float64))
+    nc = np.ascontiguousarray(np.asarray(num_compute_list, dtype=np.int64))
+    width = vel.shape[1]
+    dp = ct.POINTER(ct.c_double)
+    ip = ct.POINTER(ct.c_int64)
+    rc = lib.nbls_write_tsv(
+        path.encode(), fl.ctypes.data_as(dp), t.ctypes.data_as(dp),
+        vel.ctypes.data_as(dp), baz.ctypes.data_as(dp),
+        mdccm.ctypes.data_as(dp), nc.ctypes.data_as(ip),
+        ct.c_int64(nbands), ct.c_int64(width),
+    )
+    return path if rc == 0 else None
+
+
+def _read_native(path: str):
+    """C++ fast parse of the 6 columns; returns (nrows, cols) or None."""
+    try:
+        from narrow_band_least_squares_tpu.native import get_lib
+    except ImportError:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    n = lib.nbls_count_tsv_rows(path.encode())
+    if n <= 0:
+        return None
+    cols = [np.empty(n, dtype=np.float64) for _ in range(6)]
+    dp = ct.POINTER(ct.c_double)
+    got = lib.nbls_read_tsv(
+        path.encode(), *[c.ctypes.data_as(dp) for c in cols], ct.c_int64(n)
+    )
+    if got != n:
+        return None
+    return cols
+
+
+def read_txtfile(save_dir: str, fname: str, use_native: bool = True):
     """Inverse of write_txtfile (reference ``helpers.py:185-235``).
 
     Returns ``(vel_array, baz_array, mdccm_array, t_array, freqlist,
@@ -58,7 +124,11 @@ def read_txtfile(save_dir: str, fname: str):
     ``(nbands, vector_len)`` with only the per-band prefix valid.
     """
     path = os.path.join(save_dir, fname + ".txt")
-    temp_file = np.genfromtxt(path, skip_header=1, dtype="float")
+    native = _read_native(path) if use_native else None
+    if native is not None:
+        temp_file = np.stack(native, axis=1)
+    else:
+        temp_file = np.genfromtxt(path, skip_header=1, dtype="float")
     temp_file = np.atleast_2d(temp_file)
 
     fmin_list = temp_file[:, 0]

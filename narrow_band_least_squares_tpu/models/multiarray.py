@@ -109,7 +109,7 @@ class MultiArrayPipeline:
             y = F.filter_bank_fft(
                 x, base._h_bank, base._taper, base.nfft_filter, base.zerophase
             )
-            win = extract_windows(y, base._idx, base._len_mask, base._lengths)
+            win = base._extract(y)
             if base.xcorr_method == "mxu":
                 tau, rho, mdccm = XC.cross_correlate_mxu(
                     win, base._pairs, base._lag_mask, base._dft_tables, plan.fs

@@ -30,7 +30,11 @@ from narrow_band_least_squares_tpu.ops import filters as F
 from narrow_band_least_squares_tpu.ops import lts as LTS
 from narrow_band_least_squares_tpu.ops import solve as SOLVE
 from narrow_band_least_squares_tpu.ops import xcorr as XC
-from narrow_band_least_squares_tpu.ops.windows import build_window_grid, extract_windows
+from narrow_band_least_squares_tpu.ops.windows import (
+    build_window_grid,
+    extract_windows,
+    extract_windows_strided,
+)
 from narrow_band_least_squares_tpu.utils.geometry import coarray, get_rij
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
 from narrow_band_least_squares_tpu.utils.timeutils import (
@@ -133,7 +137,8 @@ class NarrowBandPipeline:
         c_steps: int = 4,
         taper_percentage: float = 0.01,
         max_lts_candidates: int = 4096,
-        xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft'
+        xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' | 'pallas'
+        window_method: str = "gather",   # 'gather' | 'strided' (faster op, heavy compile)
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -198,6 +203,7 @@ class NarrowBandPipeline:
         self._lag_mask = jnp.asarray(grid.lag_mask)
         self._pairs = jnp.asarray(pairs)
         self.nfft_corr = F.next_pow2(2 * grid.Lmax)
+        self.window_method = window_method
         self.xcorr_method = xcorr_method
         if xcorr_method == "mxu":
             tab = XC.precompute_dft_tables(grid.Lmax, dtype=np.dtype(dtype))
@@ -205,6 +211,16 @@ class NarrowBandPipeline:
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in tab.items()
             }
+        elif xcorr_method == "pallas":
+            tab = XC.precompute_pallas_tables(
+                grid.Lmax, grid.lengths, dtype=np.dtype(dtype)
+            )
+            self._dft_tables = {
+                k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k, v in tab.items()
+            }
+            # fall back to the interpreter off-TPU (tests on CPU)
+            self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
 
         # ---- window timestamps (host) ----
         self._t_epoch_rel = np.zeros((plan.nbands, plan.width))
@@ -232,10 +248,15 @@ class NarrowBandPipeline:
                 # ltsva contract: caller already filtered+tapered the data
                 y = jnp.broadcast_to(x[None], (plan.nbands,) + x.shape)
 
-            win = extract_windows(y, self._idx, self._len_mask, self._lengths)
+            win = self._extract(y)
             if self.xcorr_method == "mxu":
                 tau, rho, mdccm = XC.cross_correlate_mxu(
                     win, self._pairs, self._lag_mask, self._dft_tables, plan.fs
+                )
+            elif self.xcorr_method == "pallas":
+                tau, rho, mdccm = XC.cross_correlate_pallas(
+                    win, self._pairs, self._dft_tables, plan.fs,
+                    interpret=self._pallas_interpret,
                 )
             else:
                 tau, rho, mdccm = XC.cross_correlate(
@@ -262,6 +283,14 @@ class NarrowBandPipeline:
             return res
 
         return step
+
+    def _extract(self, y):
+        """Window extraction (strided reshapes by default; gather fallback)."""
+        if self.window_method == "strided":
+            return extract_windows_strided(
+                y, self.plan, self._len_mask, self._lengths
+            )
+        return extract_windows(y, self._idx, self._len_mask, self._lengths)
 
     # ------------------------------------------------------------------
     def run(self, st: ArrayStream, freq_resp_list: Optional[np.ndarray] = None

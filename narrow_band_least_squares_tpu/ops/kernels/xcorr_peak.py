@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: fused inverse-DFT correlation + masked peak search.
+
+The MXU cross-correlation path (ops.xcorr.cross_correlate_mxu) ends with
+
+    cc = CS2 @ E2          # (R, nlag) — R = bands*windows*pairs
+    peak, idx = masked argmax over lags
+
+XLA materializes the full (R, nlag) correlation tensor in HBM (~170 MB for
+the canonical workload) and re-reads it for the argmax.  This kernel tiles
+the matmul over (row, lag) blocks and keeps a running (max, argmax)
+accumulator in VMEM, so the correlation tensor never exists in HBM — the
+MXU output is consumed by the peak search in-register.
+
+Tie-break matches ``jnp.argmax`` (first maximum): lag tiles are visited in
+ascending order and only strictly-greater values update the accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _peak_kernel(cs_ref, e_ref, lo_ref, hi_ref, peak_ref, idx_ref,
+                 best_ref, bidx_ref, *, tile_lags: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref[:], -jnp.inf)
+        bidx_ref[:] = jnp.zeros_like(bidx_ref[:])
+
+    cc = jnp.dot(
+        cs_ref[:], e_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                   # (TR, TL)
+    col = j * tile_lags + jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
+    valid = (col >= lo_ref[:]) & (col <= hi_ref[:])     # (TR,1) broadcast
+    ccm = jnp.where(valid, cc, -jnp.inf)
+
+    tmax = jnp.max(ccm, axis=1, keepdims=True)          # (TR, 1)
+    targ = (
+        jnp.argmax(ccm, axis=1).astype(jnp.int32).reshape(-1, 1)
+        + j * tile_lags
+    )
+    better = tmax > best_ref[:]
+    best_ref[:] = jnp.where(better, tmax, best_ref[:])
+    bidx_ref[:] = jnp.where(better, targ, bidx_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        peak_ref[:] = best_ref[:]
+        idx_ref[:] = bidx_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nlag", "tile_rows", "tile_lags", "interpret")
+)
+def icorr_peak(
+    cs2: jnp.ndarray,        # (R, K2) stacked [Re(CS) | Im(CS)]
+    e2: jnp.ndarray,         # (K2, nlag_padded) stacked [Ec ; -Es]
+    lo: jnp.ndarray,         # (R, 1) int32 first valid lag index per row
+    hi: jnp.ndarray,         # (R, 1) int32 last valid lag index per row
+    nlag: int,
+    tile_rows: int = 256,
+    tile_lags: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ``argmax_l (cs2 @ e2)[:, lo:hi]``.  Returns (peak (R,), idx (R,)).
+
+    Padding contract: callers pad K2 / lag columns with zeros and rows
+    arbitrarily; rows are masked by [lo, hi] bounds only.
+    """
+    R, K2 = cs2.shape
+    Rp = _round_up(R, tile_rows)
+    Lp = _round_up(e2.shape[1], tile_lags)
+    cs2 = jnp.pad(cs2, ((0, Rp - R), (0, 0)))
+    e2 = jnp.pad(e2, ((0, 0), (0, Lp - e2.shape[1])))
+    lo = jnp.pad(lo, ((0, Rp - R), (0, 0)))
+    hi = jnp.pad(hi, ((0, Rp - R), (0, 0)))
+
+    grid = (Rp // tile_rows, Lp // tile_lags)
+    peak, idx = pl.pallas_call(
+        functools.partial(_peak_kernel, tile_lags=tile_lags),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_rows, K2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, tile_lags), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_rows, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, 1), jnp.float32),
+            pltpu.VMEM((tile_rows, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * K2 * Lp,
+            bytes_accessed=4 * (Rp * K2 + K2 * Lp * (Rp // tile_rows) + 2 * Rp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cs2, e2, lo, hi)
+    return peak[:R, 0], idx[:R, 0]

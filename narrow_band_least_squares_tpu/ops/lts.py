@@ -98,8 +98,11 @@ def lts_solve(
 
     def c_step(_, s):
         r2 = _residuals2(tau, X, s)                   # (..., Q, P)
-        rank = _rank_along_last(r2)
-        weight = (rank < h).astype(tau.dtype)
+        # threshold-select the ~h smallest (one sort, not two argsorts; an
+        # exact tie may admit h+1 equations into an *intermediate* refit,
+        # which is harmless — the final subset below uses exact stable ranks)
+        kth = jnp.sort(r2, axis=-1)[..., h - 1 : h]
+        weight = (r2 <= kth).astype(tau.dtype)
         return masked_refit(tau[..., None, :], X, weight)
 
     s = jax.lax.fori_loop(0, c_steps, c_step, s)

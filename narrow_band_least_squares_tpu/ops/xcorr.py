@@ -145,3 +145,79 @@ def cross_correlate_mxu(
     rho = jnp.where(denom > 0, peak / denom, 0.0)
     mdccm = jnp.median(rho, axis=-1)
     return tau, rho, mdccm
+
+
+def precompute_pallas_tables(
+    Lmax: int, band_lengths: np.ndarray, dtype=np.float32,
+) -> Dict[str, np.ndarray]:
+    """Stacked/padded DFT tables + per-band lag bounds for the fused kernel."""
+    tab = precompute_dft_tables(Lmax, dtype)
+    K = tab["Cf"].shape[1]
+    nlag = 2 * Lmax - 1
+    K2 = 2 * K
+    K2p = _round_up_128(K2)
+    e2 = np.zeros((K2p, nlag), dtype=dtype)
+    e2[:K] = tab["Ec"]
+    e2[K:K2] = -tab["Es"]
+    lo = (Lmax - np.asarray(band_lengths)).astype(np.int32)        # (B,)
+    hi = (Lmax - 2 + np.asarray(band_lengths)).astype(np.int32)
+    return {
+        "Cf": tab["Cf"], "Sf": tab["Sf"], "e2": e2,
+        "K": K, "K2p": K2p, "nlag": nlag,
+        "lo": lo, "hi": hi,
+    }
+
+
+def _round_up_128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def cross_correlate_pallas(
+    win: jnp.ndarray,        # (B, W, C, Lmax)
+    pairs: jnp.ndarray,      # (P, 2)
+    tables: Dict,            # precompute_pallas_tables (device arrays)
+    fs: float,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel cross-correlation; same contract as `cross_correlate`."""
+    from narrow_band_least_squares_tpu.ops.kernels import icorr_peak
+
+    B, W, C, Lmax = win.shape
+    P = pairs.shape[0]
+    K = tables["K"]
+    K2p = tables["K2p"]
+    energy = jnp.sum(win * win, axis=-1)
+
+    mm = lambda a, b: jnp.dot(a, b, precision=precision,
+                              preferred_element_type=jnp.float32)
+    flat = win.reshape(B * W * C, Lmax)
+    ReF = mm(flat, tables["Cf"]).reshape(B, W, C, K)
+    ImF = (-mm(flat, tables["Sf"])).reshape(B, W, C, K)
+    ReI, ImI = ReF[:, :, pairs[:, 0], :], ImF[:, :, pairs[:, 0], :]
+    ReJ, ImJ = ReF[:, :, pairs[:, 1], :], ImF[:, :, pairs[:, 1], :]
+    ReCS = ReJ * ReI + ImJ * ImI
+    ImCS = ImJ * ReI - ReJ * ImI
+
+    R = B * W * P
+    cs2 = jnp.concatenate([ReCS, ImCS], axis=-1).reshape(R, 2 * K)
+    cs2 = jnp.pad(cs2, ((0, 0), (0, K2p - 2 * K)))
+    lo = jnp.broadcast_to(
+        tables["lo"][:, None, None], (B, W, P)
+    ).reshape(R, 1)
+    hi = jnp.broadcast_to(
+        tables["hi"][:, None, None], (B, W, P)
+    ).reshape(R, 1)
+    peak, idx = icorr_peak(
+        cs2, tables["e2"], lo, hi, tables["nlag"], interpret=interpret
+    )
+    peak = peak.reshape(B, W, P)
+    idx = idx.reshape(B, W, P)
+    tau = (idx.astype(win.dtype) - (Lmax - 1)) / fs
+
+    Ei = energy[:, :, pairs[:, 0]]
+    Ej = energy[:, :, pairs[:, 1]]
+    denom = jnp.sqrt(Ei * Ej)
+    rho = jnp.where(denom > 0, peak / denom, 0.0)
+    mdccm = jnp.median(rho, axis=-1)
+    return tau, rho, mdccm

@@ -123,6 +123,10 @@ class ShardedNarrowBandPipeline:
         def seg_step(x_ext, h_bank, idx, win_mask, len_mask, lengths, lag_mask):
             y = F.filter_bank_fft(x_ext, h_bank, None, nfft_ext, base.zerophase)
             y = y[..., halo:] * base._taper[None, None, :]
+            # gather-based extraction: the index tensor is band-sharded, so
+            # one compiled program serves every band shard (the strided
+            # per-band reshape specialization cannot — each shard would need
+            # different static hops)
             win = extract_windows(y, idx, len_mask, lengths)
             if base.xcorr_method == "mxu":
                 tau, rho, mdccm = XC.cross_correlate_mxu(
