@@ -139,6 +139,7 @@ class NarrowBandPipeline:
         max_lts_candidates: int = 4096,
         xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' | 'pallas'
         window_method: str = "gather",   # 'gather' | 'strided' (faster op, heavy compile)
+        max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -205,8 +206,19 @@ class NarrowBandPipeline:
         self.nfft_corr = F.next_pow2(2 * grid.Lmax)
         self.window_method = window_method
         self.xcorr_method = xcorr_method
+        self.max_lag_s = max_lag_s
+        max_lag = None
+        if max_lag_s is not None:
+            max_lag = min(int(max_lag_s * plan.fs), grid.Lmax - 1)
+            half = max_lag
+            c = grid.Lmax - 1
+            self._lag_mask = jnp.asarray(
+                grid.lag_mask[:, c - half : c + half + 1]
+            )
         if xcorr_method == "mxu":
-            tab = XC.precompute_dft_tables(grid.Lmax, dtype=np.dtype(dtype))
+            tab = XC.precompute_dft_tables(
+                grid.Lmax, dtype=np.dtype(dtype), max_lag=max_lag
+            )
             self._dft_tables = {
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in tab.items()

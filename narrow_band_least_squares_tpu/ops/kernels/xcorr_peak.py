@@ -75,8 +75,8 @@ def icorr_peak(
     lo: jnp.ndarray,         # (R, 1) int32 first valid lag index per row
     hi: jnp.ndarray,         # (R, 1) int32 last valid lag index per row
     nlag: int,
-    tile_rows: int = 256,
-    tile_lags: int = 512,
+    tile_rows: int = 128,
+    tile_lags: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ``argmax_l (cs2 @ e2)[:, lo:hi]``.  Returns (peak (R,), idx (R,)).

@@ -78,7 +78,12 @@ def cross_correlate(
 # in float64 on host and cast to the compute dtype.
 
 def precompute_dft_tables(Lmax: int, dtype=np.float32,
-                          nfft: int | None = None) -> Dict[str, np.ndarray]:
+                          nfft: int | None = None,
+                          max_lag: int | None = None) -> Dict[str, np.ndarray]:
+    """DFT matmul tables.  ``max_lag`` restricts the evaluated lag range to
+    ``[-max_lag, max_lag]`` (production mode: the physical inter-element
+    delay is bounded by aperture / min trace velocity, so the full
+    ``2*Lmax-1`` search the reference does is mostly dead lags)."""
     n = int(nfft) if nfft else 2 * Lmax  # >= 2*Lmax - 1
     K = n // 2 + 1
     t = np.arange(Lmax)[:, None]                    # (L, 1)
@@ -87,7 +92,8 @@ def precompute_dft_tables(Lmax: int, dtype=np.float32,
     Cf = np.cos(ang_f)
     Sf = np.sin(ang_f)
 
-    lags = np.arange(-(Lmax - 1), Lmax)             # ascending, 'full' order
+    half = Lmax - 1 if max_lag is None else min(int(max_lag), Lmax - 1)
+    lags = np.arange(-half, half + 1)               # ascending, 'full' order
     m = np.mod(lags, n)[None, :]                    # (1, nlag)
     w = np.full((K, 1), 2.0)
     w[0, 0] = 1.0
@@ -99,7 +105,7 @@ def precompute_dft_tables(Lmax: int, dtype=np.float32,
     return {
         "Cf": Cf.astype(dtype), "Sf": Sf.astype(dtype),
         "Ec": Ec.astype(dtype), "Es": Es.astype(dtype),
-        "nfft": n,
+        "nfft": n, "lag_min": int(lags[0]),
     }
 
 
@@ -131,13 +137,14 @@ def cross_correlate_mxu(
     cc_lin = (
         mm(ReCS.reshape(-1, K), tables["Ec"])
         - mm(ImCS.reshape(-1, K), tables["Es"])
-    ).reshape(B, W, P, -1)                           # (B, W, P, 2*Lmax-1)
+    ).reshape(B, W, P, -1)                           # (B, W, P, nlag)
 
     mask = lag_mask[:, None, None, :]
     cc_masked = jnp.where(mask, cc_lin, -jnp.inf)
     k_idx = jnp.argmax(cc_masked, axis=-1)
     peak = jnp.max(cc_masked, axis=-1)
-    tau = (k_idx.astype(win.dtype) - (Lmax - 1)) / fs
+    lag_min = tables.get("lag_min", -(Lmax - 1))
+    tau = (k_idx.astype(win.dtype) + lag_min) / fs
 
     Ei = energy[:, :, pairs[:, 0]]
     Ej = energy[:, :, pairs[:, 1]]

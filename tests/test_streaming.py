@@ -78,3 +78,45 @@ def test_sharded_monitor_matches_single(monitor_setup, tmp_path):
     k = min(v1.shape[1], v2.shape[1])
     np.testing.assert_allclose(v1[:, :k], v2[:, :k], atol=2e-4)
     np.testing.assert_allclose(m1[:, :k], m2[:, :k], atol=2e-4)
+
+
+def test_retry_on_transient_failure(monitor_setup, tmp_path, monkeypatch):
+    """Per-segment retry (SURVEY §5): one transient failure is absorbed."""
+    st, mon, _ = monitor_setup
+    from narrow_band_least_squares_tpu.models.streaming import StreamingMonitor
+
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
+        alpha=1.0, max_retries=1,
+    )
+    calls = {"n": 0}
+    real = mon2.pipe.run_extended
+
+    def flaky(x_ext):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient device error")
+        return real(x_ext)
+
+    monkeypatch.setattr(mon2.pipe, "run_extended", flaky)
+    recs = mon2.process(st)
+    assert len(recs) == 5
+    assert calls["n"] >= 2  # first call failed, retry succeeded
+
+
+def test_retry_exhaustion_raises(monitor_setup, tmp_path, monkeypatch):
+    st, mon, _ = monitor_setup
+    from narrow_band_least_squares_tpu.models.streaming import StreamingMonitor
+    import pytest as _pytest
+
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
+        alpha=1.0, max_retries=1,
+    )
+
+    def always_fail(x_ext):
+        raise RuntimeError("persistent device error")
+
+    monkeypatch.setattr(mon2.pipe, "run_extended", always_fail)
+    with _pytest.raises(RuntimeError, match="persistent"):
+        mon2.process(st)

@@ -68,3 +68,51 @@ def test_matches_numpy_correlate(window_batch):
         cc = np.correlate(w[1, 2, j], w[1, 2, i], mode="full")
         k = int(np.argmax(cc))
         assert np.asarray(tau)[1, 2, p] * fs == pytest.approx(k - (L - 1))
+
+
+def test_lag_cap_matches_full_when_delays_small(window_batch):
+    """max_lag production mode: identical results when true delays fit."""
+    win, pairs, lag_mask, L = window_batch
+    fs = 10.0
+    full = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+            for k, v in XC.precompute_dft_tables(L, np.float64).items()}
+    tau_f, rho_f, _ = XC.cross_correlate_mxu(win, pairs, lag_mask, full, fs)
+
+    capped_np = XC.precompute_dft_tables(L, np.float64, max_lag=40)
+    capped = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in capped_np.items()}
+    c = L - 1
+    lm = jnp.asarray(np.asarray(lag_mask)[:, c - 40 : c + 41])
+    tau_c, rho_c, _ = XC.cross_correlate_mxu(win, pairs, lm, capped, fs)
+    # cell (0,0) has injected delays <= 10 samples << 40-sample cap
+    np.testing.assert_array_equal(
+        np.asarray(tau_f)[0, 0], np.asarray(tau_c)[0, 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(rho_f)[0, 0], np.asarray(rho_c)[0, 0], atol=1e-6
+    )
+
+
+def test_pipeline_max_lag_s(small_stream):
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+    winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    full = NarrowBandPipeline(plan, rij, alpha=1.0)
+    capped = NarrowBandPipeline(plan, rij, alpha=1.0, max_lag_s=15.0)
+    r1 = full.run_raw(st.data)
+    r2 = capped.run_raw(st.data)
+    # aperture ~2 km, vel >= 0.2 km/s -> |tau| <= ~10 s < 15 s cap:
+    # confident windows agree
+    good = np.asarray(r1["mdccm"]) > 0.6
+    np.testing.assert_allclose(
+        np.asarray(r1["vel"])[good], np.asarray(r2["vel"])[good],
+        rtol=1e-4, atol=1e-4,
+    )
