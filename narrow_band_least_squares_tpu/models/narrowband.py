@@ -140,6 +140,7 @@ class NarrowBandPipeline:
         xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' | 'pallas'
         window_method: str = "gather",   # 'gather' | 'strided' (faster op, heavy compile)
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
+        matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -207,6 +208,12 @@ class NarrowBandPipeline:
         self.window_method = window_method
         self.xcorr_method = xcorr_method
         self.max_lag_s = max_lag_s
+        import jax.lax as _lax
+        self.matmul_precision = {
+            "highest": _lax.Precision.HIGHEST,
+            "high": _lax.Precision.HIGH,
+            "default": _lax.Precision.DEFAULT,
+        }[matmul_precision]
         max_lag = None
         if max_lag_s is not None:
             max_lag = min(int(max_lag_s * plan.fs), grid.Lmax - 1)
@@ -263,7 +270,8 @@ class NarrowBandPipeline:
             win = self._extract(y)
             if self.xcorr_method == "mxu":
                 tau, rho, mdccm = XC.cross_correlate_mxu(
-                    win, self._pairs, self._lag_mask, self._dft_tables, plan.fs
+                    win, self._pairs, self._lag_mask, self._dft_tables,
+                    plan.fs, precision=self.matmul_precision,
                 )
             elif self.xcorr_method == "pallas":
                 tau, rho, mdccm = XC.cross_correlate_pallas(
