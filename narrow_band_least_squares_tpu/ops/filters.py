@@ -38,6 +38,12 @@ import jax.numpy as jnp
 def design_sos(filter_type: str, fmin: float, fmax: float, order: int,
                ripple: float, fs: float) -> np.ndarray:
     """Bandpass SOS design matching reference ``helpers.py:128,130``."""
+    if not (0.0 < fmin < fmax < fs / 2):
+        raise ValueError(
+            f"band edges must satisfy 0 < FMIN < FMAX < Nyquist: "
+            f"FMIN={fmin}, FMAX={fmax}, fs={fs} (Nyquist {fs / 2}); the "
+            f"reference notes FMAX 'should not exceed Nyquist' (example.py:51)"
+        )
     if filter_type == "butter":
         return signal.iirfilter(
             order, [fmin, fmax], btype="band", ftype="butter", fs=fs,

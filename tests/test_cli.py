@@ -1,0 +1,61 @@
+"""CLI front-end smoke: defaults, run, monitor + resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from narrow_band_least_squares_tpu.__main__ import main
+from narrow_band_least_squares_tpu.config import NBLSConfig
+
+
+@pytest.fixture(scope="module")
+def stream_npz(tmp_path_factory, small_stream):
+    p = str(tmp_path_factory.mktemp("cli") / "stream.npz")
+    small_stream.save_npz(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def cfg_json(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cfg") / "cfg.json")
+    NBLSConfig(
+        FMIN=0.3, FMAX=2.0, NBANDS=3, WINLEN=40, WINLEN_1=50, WINLEN_X=30
+    ).to_json(p)
+    return p
+
+
+def test_defaults(capsys):
+    main(["defaults"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["FMIN"] == 0.1 and d["FREQ_BAND_TYPE"] == "log"
+
+
+def test_run(stream_npz, cfg_json, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    main(["run", "--data", stream_npz, "--out", out, "--no-figures",
+          "--config", cfg_json])
+    s = json.loads(capsys.readouterr().out)
+    assert s["bands"] == 3
+    assert os.path.exists(os.path.join(out, "narrow_band_results.txt"))
+    assert os.path.exists(os.path.join(out, "config_used.json"))
+    assert s["median_baz_deg"] == pytest.approx(230.0, abs=8.0)
+
+
+def test_monitor_resume(stream_npz, cfg_json, tmp_path, capsys):
+    out = str(tmp_path / "mon")
+    args = ["monitor", "--data", stream_npz, "--segment-s", "120",
+            "--out", out, "--config", cfg_json]
+    main(args)
+    n1 = json.loads(capsys.readouterr().out)["segments_processed"]
+    main(args)
+    n2 = json.loads(capsys.readouterr().out)["segments_processed"]
+    assert n1 == 2 and n2 == 0
+
+
+def test_nyquist_validation(stream_npz, tmp_path):
+    # default config FMAX=5.0 on a 10 Hz stream -> clear error
+    with pytest.raises(ValueError, match="Nyquist"):
+        main(["run", "--data", stream_npz, "--out", str(tmp_path / "x"),
+              "--no-figures"])
