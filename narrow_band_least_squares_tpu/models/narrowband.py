@@ -33,6 +33,7 @@ from narrow_band_least_squares_tpu.ops import xcorr as XC
 from narrow_band_least_squares_tpu.ops.windows import (
     build_window_grid,
     extract_windows,
+    extract_windows_patches,
     extract_windows_strided,
 )
 from narrow_band_least_squares_tpu.utils.geometry import coarray, get_rij
@@ -305,9 +306,13 @@ class NarrowBandPipeline:
         return step
 
     def _extract(self, y):
-        """Window extraction (strided reshapes by default; gather fallback)."""
+        """Window extraction: 'gather' | 'patches' (im2col) | 'strided'."""
         if self.window_method == "strided":
             return extract_windows_strided(
+                y, self.plan, self._len_mask, self._lengths
+            )
+        if self.window_method == "patches":
+            return extract_windows_patches(
                 y, self.plan, self._len_mask, self._lengths
             )
         return extract_windows(y, self._idx, self._len_mask, self._lengths)

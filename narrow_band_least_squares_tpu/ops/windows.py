@@ -112,6 +112,41 @@ def extract_windows_strided(
     return (win - mean) * len_mask
 
 
+def extract_windows_patches(
+    y: jnp.ndarray,          # (B, C, T) filtered waveforms
+    plan: NarrowBandPlan,
+    len_mask: jnp.ndarray,   # (B, 1, 1, Lmax)
+    lengths: jnp.ndarray,    # (B,) float
+) -> jnp.ndarray:
+    """Window extraction via im2col (`conv_general_dilated_patches`).
+
+    Static per-band stride/size — no gather op; XLA lowers the patch
+    extraction onto its conv machinery.  Same demean/mask contract as
+    `extract_windows`.
+    """
+    B, C, T = y.shape
+    Wmax, Lmax = plan.max_windows, plan.max_winlensamp
+    ypad = jnp.pad(y, ((0, 0), (0, 0), (0, Lmax)))
+    per_band = []
+    for b, wp in enumerate(plan.windows):
+        pats = jax.lax.conv_general_dilated_patches(
+            ypad[b][:, None, :],             # (C, 1, T+Lmax)
+            filter_shape=(Lmax,),
+            window_strides=(wp.hop,),
+            padding="VALID",
+        )                                     # (C, Lmax, W')
+        pats = pats[:, :, :Wmax]
+        if pats.shape[-1] < Wmax:
+            pats = jnp.pad(
+                pats, ((0, 0), (0, 0), (0, Wmax - pats.shape[-1]))
+            )
+        per_band.append(jnp.transpose(pats, (2, 0, 1)))  # (Wmax, C, Lmax)
+    win = jnp.stack(per_band, axis=0)
+    win = win * len_mask
+    mean = jnp.sum(win, axis=-1, keepdims=True) / lengths[:, None, None, None]
+    return (win - mean) * len_mask
+
+
 def extract_windows(
     y: jnp.ndarray,          # (B, C, T) filtered waveforms
     idx: jnp.ndarray,        # (B, Wmax, Lmax)

@@ -116,3 +116,26 @@ def test_pipeline_max_lag_s(small_stream):
         np.asarray(r1["vel"])[good], np.asarray(r2["vel"])[good],
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("method", ["patches", "strided"])
+def test_window_methods_match_gather(small_stream, method):
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+    winlens = get_winlenlist("adaptive", nbands, 30, 35, 25)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    ref = NarrowBandPipeline(plan, rij, alpha=1.0, window_method="gather")
+    got = NarrowBandPipeline(plan, rij, alpha=1.0, window_method=method)
+    r1 = ref.run_raw(st.data)
+    r2 = got.run_raw(st.data)
+    np.testing.assert_allclose(np.asarray(r1["vel"]), np.asarray(r2["vel"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["mdccm"]),
+                               np.asarray(r2["mdccm"]), rtol=1e-5, atol=1e-5)
