@@ -142,6 +142,7 @@ class NarrowBandPipeline:
         window_method: str = "gather",   # 'gather' | 'strided' (faster op, heavy compile)
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
+        lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -157,6 +158,7 @@ class NarrowBandPipeline:
         self.filter_ripple = filter_ripple
         self.dtype = dtype
         self.c_steps = c_steps
+        self.lts_candidate_chunk = lts_candidate_chunk
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -290,6 +292,7 @@ class NarrowBandPipeline:
                 out = LTS.lts_solve(
                     tau, self._X, self._cand, self._Ainv, self._cand_ok,
                     self.h, self.c_steps,
+                    candidate_chunk=self.lts_candidate_chunk,
                 )
                 retained = out["retained"]
 

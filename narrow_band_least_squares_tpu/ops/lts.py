@@ -75,24 +75,11 @@ def _residuals2(tau: jnp.ndarray, X: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray
     return r * r
 
 
-def lts_solve(
-    tau: jnp.ndarray,        # (..., P)
-    X: jnp.ndarray,          # (P, 2)
-    cand: jnp.ndarray,       # (Q, 2) int32
-    Ainv: jnp.ndarray,       # (Q, 2, 2)
-    cand_ok: jnp.ndarray,    # (Q,) bool
-    h: int,
-    c_steps: int = 4,
-) -> Dict[str, jnp.ndarray]:
-    """Batched exact-enumeration LTS.
+def _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps):
+    """Elemental solves + C-steps for one candidate block.
 
-    Returns vel, baz, sig_tau, vel_uncert, baz_uncert, s, retained
-    (..., P bool; True = equation kept).
+    Returns (obj (..., Q), s (..., Q, 2)).
     """
-    P = tau.shape[-1]
-    dof = max(h - SIGMA_TAU_DOF_SHIFT, 1)
-
-    # elemental 2x2 solves for every candidate: (..., Q, 2)
     tau_pairs = tau[..., cand]                        # (..., Q, 2)
     s = jnp.einsum("qij,...qj->...qi", Ainv, tau_pairs)
 
@@ -114,11 +101,67 @@ def lts_solve(
     obj = jnp.sum(sel * r2, axis=-1)                  # (..., Q)
     obj = jnp.where(cand_ok, obj, jnp.inf)
     obj = jnp.where(jnp.isnan(obj), jnp.inf, obj)
+    return obj, s
 
-    best = jnp.argmin(obj, axis=-1)                   # (...,)
-    s_best = jnp.take_along_axis(
-        s, best[..., None, None], axis=-2
-    )[..., 0, :]                                      # (..., 2)
+
+def lts_solve(
+    tau: jnp.ndarray,        # (..., P)
+    X: jnp.ndarray,          # (P, 2)
+    cand: jnp.ndarray,       # (Q, 2) int32
+    Ainv: jnp.ndarray,       # (Q, 2, 2)
+    cand_ok: jnp.ndarray,    # (Q,) bool
+    h: int,
+    c_steps: int = 4,
+    candidate_chunk: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """Batched exact-enumeration LTS.
+
+    ``candidate_chunk > 0`` sweeps candidates in blocks via ``lax.map`` so
+    peak memory is bounded for large arrays (P ~ 100 -> thousands of
+    elemental candidates) at identical results.
+
+    Returns vel, baz, sig_tau, vel_uncert, baz_uncert, s, retained
+    (..., P bool; True = equation kept).
+    """
+    P = tau.shape[-1]
+    Q = cand.shape[0]
+    dof = max(h - SIGMA_TAU_DOF_SHIFT, 1)
+
+    if candidate_chunk and candidate_chunk < Q:
+        nchunk = -(-Q // candidate_chunk)
+        pad = nchunk * candidate_chunk - Q
+        cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+        Ainv_p = jnp.pad(Ainv, ((0, pad), (0, 0), (0, 0)))
+        ok_p = jnp.pad(cand_ok, (0, pad))             # padded: ok=False
+        cand_c = cand_p.reshape(nchunk, candidate_chunk, 2)
+        Ainv_c = Ainv_p.reshape(nchunk, candidate_chunk, 2, 2)
+        ok_c = ok_p.reshape(nchunk, candidate_chunk)
+
+        def block(args):
+            cb, ab, ob = args
+            obj_b, s_b = _candidate_sweep(tau, X, cb, ab, ob, h, c_steps)
+            best_b = jnp.argmin(obj_b, axis=-1)       # (...,)
+            obj_min = jnp.take_along_axis(
+                obj_b, best_b[..., None], axis=-1
+            )[..., 0]
+            s_min = jnp.take_along_axis(
+                s_b, best_b[..., None, None], axis=-2
+            )[..., 0, :]
+            return obj_min, s_min
+
+        obj_blocks, s_blocks = jax.lax.map(block, (cand_c, Ainv_c, ok_c))
+        kbest = jnp.argmin(obj_blocks, axis=0)        # (...,)
+        obj_best = jnp.min(obj_blocks, axis=0)
+        s_best = jnp.take_along_axis(
+            s_blocks, kbest[None, ..., None], axis=0
+        )[0]
+    else:
+        obj, s = _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps)
+        best = jnp.argmin(obj, axis=-1)               # (...,)
+        obj_best = jnp.min(obj, axis=-1)
+        s_best = jnp.take_along_axis(
+            s, best[..., None, None], axis=-2
+        )[..., 0, :]                                  # (..., 2)
 
     # final subset + refit (idempotent when converged, like the oracle)
     r_best = tau - jnp.einsum("pk,...k->...p", X, s_best)
@@ -157,5 +200,5 @@ def lts_solve(
         "baz_uncert": jnp.degrees(jnp.sqrt(jnp.maximum(var_t, 0.0))),
         "s": s_fin,
         "retained": retained,
-        "objective": jnp.min(obj, axis=-1),
+        "objective": obj_best,
     }

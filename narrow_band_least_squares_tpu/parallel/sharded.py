@@ -143,6 +143,7 @@ class ShardedNarrowBandPipeline:
                 out = LTS.lts_solve(
                     tau, base._X, base._cand, base._Ainv, base._cand_ok,
                     base.h, base.c_steps,
+                    candidate_chunk=base.lts_candidate_chunk,
                 )
                 retained = out["retained"]
             res = {

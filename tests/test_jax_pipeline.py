@@ -166,3 +166,36 @@ class TestScanFilter:
         got = np.asarray(sosfilt_scan(jnp.asarray(sos, jnp.float32),
                                       jnp.asarray(x, jnp.float32)))
         assert np.max(np.abs(got - ref)) < 1e-3 * np.max(np.abs(ref))
+
+
+class TestLtsChunking:
+    def test_chunked_candidates_identical(self, outlier_stream):
+        """candidate_chunk bounds memory without changing results."""
+        import jax.numpy as jnp
+        from narrow_band_least_squares_tpu.ops import lts as LTS
+        from narrow_band_least_squares_tpu.ops import solve as SOLVE
+        from narrow_band_least_squares_tpu.utils.geometry import coarray, get_rij
+
+        st = outlier_stream
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        X, pairs = coarray(rij)
+        rng = np.random.default_rng(2)
+        tau = jnp.asarray(
+            rng.standard_normal((3, 7, X.shape[0])) * 0.5, jnp.float32
+        )
+        ci = LTS.precompute_candidates(X)
+        Xj = jnp.asarray(X, jnp.float32)
+        args = (
+            Xj, jnp.asarray(ci["cand"]),
+            jnp.asarray(ci["Ainv"], jnp.float32), jnp.asarray(ci["ok"]),
+        )
+        h = LTS.lts_h(0.75, X.shape[0])
+        full = LTS.lts_solve(tau, *args, h, c_steps=4)
+        chunked = LTS.lts_solve(tau, *args, h, c_steps=4, candidate_chunk=17)
+        np.testing.assert_array_equal(
+            np.asarray(full["retained"]), np.asarray(chunked["retained"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["vel"]), np.asarray(chunked["vel"]),
+            rtol=1e-6, atol=1e-6,
+        )
