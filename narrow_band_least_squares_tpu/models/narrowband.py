@@ -143,6 +143,7 @@ class NarrowBandPipeline:
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
+        subsample_delays: bool = False,  # parabolic sub-sample lag refinement
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -159,6 +160,7 @@ class NarrowBandPipeline:
         self.dtype = dtype
         self.c_steps = c_steps
         self.lts_candidate_chunk = lts_candidate_chunk
+        self.subsample_delays = subsample_delays
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -275,6 +277,7 @@ class NarrowBandPipeline:
                 tau, rho, mdccm = XC.cross_correlate_mxu(
                     win, self._pairs, self._lag_mask, self._dft_tables,
                     plan.fs, precision=self.matmul_precision,
+                    subsample=self.subsample_delays,
                 )
             elif self.xcorr_method == "pallas":
                 tau, rho, mdccm = XC.cross_correlate_pallas(

@@ -116,8 +116,15 @@ def cross_correlate_mxu(
     tables: Dict[str, jnp.ndarray],
     fs: float,
     precision=jax.lax.Precision.HIGHEST,
+    subsample: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """MXU cross-correlation; same contract as `cross_correlate`."""
+    """MXU cross-correlation; same contract as `cross_correlate`.
+
+    ``subsample=True`` refines each integer-lag peak with the parabolic
+    vertex through its two neighbors (classic three-point interpolation) —
+    a beyond-reference extension (the reference quantizes delays to the
+    sample grid); off by default for parity.
+    """
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
 
@@ -144,7 +151,21 @@ def cross_correlate_mxu(
     k_idx = jnp.argmax(cc_masked, axis=-1)
     peak = jnp.max(cc_masked, axis=-1)
     lag_min = tables.get("lag_min", -(Lmax - 1))
-    tau = (k_idx.astype(win.dtype) + lag_min) / fs
+    frac = 0.0
+    if subsample:
+        nlag = cc_lin.shape[-1]
+        km = jnp.clip(k_idx - 1, 0, nlag - 1)
+        kp = jnp.clip(k_idx + 1, 0, nlag - 1)
+        cm = jnp.take_along_axis(cc_lin, km[..., None], axis=-1)[..., 0]
+        cp = jnp.take_along_axis(cc_lin, kp[..., None], axis=-1)[..., 0]
+        denom = cm - 2.0 * peak + cp
+        frac = jnp.where(
+            (jnp.abs(denom) > 1e-20) & (k_idx > 0) & (k_idx < nlag - 1),
+            0.5 * (cm - cp) / denom,
+            0.0,
+        )
+        frac = jnp.clip(frac, -0.5, 0.5)
+    tau = (k_idx.astype(win.dtype) + frac + lag_min) / fs
 
     Ei = energy[:, :, pairs[:, 0]]
     Ej = energy[:, :, pairs[:, 1]]

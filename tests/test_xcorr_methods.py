@@ -139,3 +139,41 @@ def test_window_methods_match_gather(small_stream, method):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1["mdccm"]),
                                np.asarray(r2["mdccm"]), rtol=1e-5, atol=1e-5)
+
+
+def test_subsample_interpolation_recovers_fractional_delay():
+    """Parabolic refinement beats integer lags on a fractional-delay wave."""
+    rng = np.random.default_rng(11)
+    fs = 10.0
+    L = 400
+    n = 4096
+    src = rng.standard_normal(n)
+    # band-limit so the correlation peak is smooth
+    S = np.fft.rfft(src)
+    f = np.fft.rfftfreq(n, 1 / fs)
+    S[(f < 0.3) | (f > 1.5)] = 0
+    src = np.fft.irfft(S, n)
+    true_delay = 0.33  # seconds, NOT an integer number of samples (3.3)
+    shifted = np.fft.irfft(
+        np.fft.rfft(src) * np.exp(-2j * np.pi * np.fft.rfftfreq(n, 1 / fs)
+                                  * true_delay), n
+    )
+    a = src[1000:1000 + L]
+    b = shifted[1000:1000 + L]
+    win = np.zeros((1, 1, 2, L))
+    win[0, 0, 0] = a - a.mean()
+    win[0, 0, 1] = b - b.mean()
+    pairs = jnp.asarray([[0, 1]], dtype=jnp.int32)
+    lag_mask = jnp.ones((1, 2 * L - 1), dtype=bool)
+    tables = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in XC.precompute_dft_tables(L, np.float64).items()}
+    wj = jnp.asarray(win, jnp.float32)
+    tau_int, _, _ = XC.cross_correlate_mxu(wj, pairs, lag_mask, tables, fs)
+    tau_sub, _, _ = XC.cross_correlate_mxu(
+        wj, pairs, lag_mask, tables, fs, subsample=True
+    )
+    err_int = abs(float(tau_int[0, 0, 0]) - true_delay)
+    err_sub = abs(float(tau_sub[0, 0, 0]) - true_delay)
+    assert err_int <= 0.5 / fs + 1e-6
+    assert err_sub < err_int
+    assert err_sub < 0.02  # sub-sample accuracy
