@@ -20,7 +20,7 @@ Everything here is a thin host-side shim over `models.NarrowBandPipeline`.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -238,7 +238,6 @@ def narrow_band_loop(
     from scipy import signal as _signal
 
     from narrow_band_least_squares_tpu.utils.plan import band_edges
-    from narrow_band_least_squares_tpu.ops.filters import design_sos
 
     tempfmin, tempfmax = band_edges(freqlist, ii, FREQ_BAND_TYPE)
     stf, Fs, sos = filter_data(

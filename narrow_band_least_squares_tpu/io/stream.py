@@ -15,7 +15,7 @@ compute path needs it).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

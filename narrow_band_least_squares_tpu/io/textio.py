@@ -12,7 +12,7 @@ reference's de-facto checkpoint/resume mechanism for weeks/months monitoring
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -7,16 +7,10 @@ narrow-band pipeline with one band — same kernels, B=1.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 
-from narrow_band_least_squares_tpu.io.stream import ArrayStream
-from narrow_band_least_squares_tpu.models.narrowband import (
-    NarrowBandPipeline,
-    NarrowBandResult,
-)
+from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
 from narrow_band_least_squares_tpu.utils.plan import make_plan
 
 

@@ -14,7 +14,7 @@ closure constants.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -27,7 +27,6 @@ from narrow_band_least_squares_tpu.ops import filters as F
 from narrow_band_least_squares_tpu.ops import lts as LTS
 from narrow_band_least_squares_tpu.ops import solve as SOLVE
 from narrow_band_least_squares_tpu.ops import xcorr as XC
-from narrow_band_least_squares_tpu.ops.windows import extract_windows
 from narrow_band_least_squares_tpu.parallel.mesh import TIME_AXIS
 from narrow_band_least_squares_tpu.utils.geometry import coarray
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan

@@ -15,9 +15,8 @@ Everything is statically shaped; ragged per-band window counts live in masks
 
 from __future__ import annotations
 
-import functools
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -36,7 +35,7 @@ from narrow_band_least_squares_tpu.ops.windows import (
     extract_windows_patches,
     extract_windows_strided,
 )
-from narrow_band_least_squares_tpu.utils.geometry import coarray, get_rij
+from narrow_band_least_squares_tpu.utils.geometry import coarray
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
 from narrow_band_least_squares_tpu.utils.timeutils import (
     epoch_to_datenum,

@@ -23,13 +23,12 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 from narrow_band_least_squares_tpu.io.stream import ArrayStream
 from narrow_band_least_squares_tpu.io.textio import read_txtfile, write_txtfile
-from narrow_band_least_squares_tpu.utils.geometry import get_rij
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
 from narrow_band_least_squares_tpu.utils.timeutils import epoch_to_datenum
 

@@ -21,7 +21,6 @@ the signal length.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import numpy as np

@@ -18,7 +18,7 @@ Retained-set size: ``h = clamp(floor(ALPHA * P), 3, P)`` equations
 from __future__ import annotations
 
 from itertools import combinations
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -11,7 +11,6 @@ reference's outputs already follow (``narrow_band_least_squares.py:104-108``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ TPU pipeline and as the CPU baseline for benchmarks.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 from scipy import signal

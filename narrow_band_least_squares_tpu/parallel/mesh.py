@@ -16,7 +16,6 @@ outer (DCN) axis so the only cross-host traffic is the thin halo.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Tuple
 
 import numpy as np

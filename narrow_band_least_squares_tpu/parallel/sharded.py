@@ -21,7 +21,7 @@ Results come back as dense ``(S, B, Wmax)`` arrays sharded
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Shared semantics (reference ``plotting.py:266-476``):
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 import matplotlib
@@ -30,7 +30,6 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import matplotlib.gridspec as gridspec
 import matplotlib.colorbar as cbar
-from matplotlib import cm as mcm
 from matplotlib import rcParams
 from matplotlib.colors import Normalize
 from matplotlib.patches import Rectangle

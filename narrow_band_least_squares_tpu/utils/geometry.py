@@ -17,7 +17,7 @@ Conventions (identical to the reference):
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -26,7 +26,7 @@ computed.  Window timestamps are the **end** of each window, as epoch seconds
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import numpy as np
