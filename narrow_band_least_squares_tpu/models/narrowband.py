@@ -143,6 +143,9 @@ class NarrowBandPipeline:
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
         subsample_delays: bool = False,  # parabolic sub-sample lag refinement
+        bucket_bands: bool = False,      # compact per-winlen-bucket xcorr grids
+        bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
+        fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -218,6 +221,13 @@ class NarrowBandPipeline:
             "high": _lax.Precision.HIGH,
             "default": _lax.Precision.DEFAULT,
         }[matmul_precision]
+        # fast mode: pure-bf16 matmul peak search, then exact float32
+        # re-evaluation of rho/tau at (and around) the winning lag.
+        # Throughput mode for strong-SNR production streams; the bf16 search
+        # can land a cycle off on very-low-BT bands, hence opt-in.
+        self.fast_mode = bool(fast_mode)
+        if self.fast_mode:
+            self.matmul_precision = _lax.Precision.DEFAULT
         max_lag = None
         if max_lag_s is not None:
             max_lag = min(int(max_lag_s * plan.fs), grid.Lmax - 1)
@@ -226,6 +236,11 @@ class NarrowBandPipeline:
             self._lag_mask = jnp.asarray(
                 grid.lag_mask[:, c - half : c + half + 1]
             )
+        half = grid.lengths.astype(np.int64) - 1
+        if max_lag is not None:
+            half = np.minimum(half, max_lag)
+        self._lag_half = jnp.asarray(half, jnp.int32)
+        self.bucket_bands = bool(bucket_bands) and xcorr_method == "mxu"
         if xcorr_method == "mxu":
             tab = XC.precompute_dft_tables(
                 grid.Lmax, dtype=np.dtype(dtype), max_lag=max_lag
@@ -234,6 +249,38 @@ class NarrowBandPipeline:
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in tab.items()
             }
+            if self.bucket_bands:
+                from narrow_band_least_squares_tpu.ops.windows import (
+                    build_bucket_grids,
+                )
+                bgrids = build_bucket_grids(
+                    plan, ratio=bucket_ratio, max_lag=max_lag
+                )
+                self._buckets = []
+                for g in bgrids:
+                    btab = XC.precompute_dft_tables(
+                        g.Lmax, dtype=np.dtype(dtype),
+                        max_lag=(min(max_lag, g.Lmax - 1)
+                                 if max_lag is not None else None),
+                    )
+                    bhalf = g.lengths.astype(np.int64) - 1
+                    if max_lag is not None:
+                        bhalf = np.minimum(bhalf, max_lag)
+                    self._buckets.append({
+                        "band_idx": g.band_idx,
+                        "lag_half": jnp.asarray(bhalf, jnp.int32),
+                        "idx": jnp.asarray(g.idx),
+                        "len_mask": jnp.asarray(g.len_mask, dtype),
+                        "lengths": jnp.asarray(g.lengths, dtype),
+                        "lag_mask": jnp.asarray(g.lag_mask),
+                        "tables": {
+                            k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                                else v)
+                            for k, v in btab.items()
+                        },
+                    })
+                order = np.concatenate([g.band_idx for g in bgrids])
+                self._bucket_inv_perm = np.argsort(order).astype(np.int32)
         elif xcorr_method == "pallas":
             tab = XC.precompute_pallas_tables(
                 grid.Lmax, grid.lengths, dtype=np.dtype(dtype)
@@ -271,19 +318,24 @@ class NarrowBandPipeline:
                 # ltsva contract: caller already filtered+tapered the data
                 y = jnp.broadcast_to(x[None], (plan.nbands,) + x.shape)
 
-            win = self._extract(y)
-            if self.xcorr_method == "mxu":
+            if self.bucket_bands:
+                tau, rho, mdccm = self._xcorr_bucketed(y)
+            elif self.xcorr_method == "mxu":
+                win = self._extract(y)
                 tau, rho, mdccm = XC.cross_correlate_mxu(
                     win, self._pairs, self._lag_mask, self._dft_tables,
                     plan.fs, precision=self.matmul_precision,
                     subsample=self.subsample_delays,
+                    exact_peak=self.fast_mode, lag_half=self._lag_half,
                 )
             elif self.xcorr_method == "pallas":
+                win = self._extract(y)
                 tau, rho, mdccm = XC.cross_correlate_pallas(
                     win, self._pairs, self._dft_tables, plan.fs,
                     interpret=self._pallas_interpret,
                 )
             else:
+                win = self._extract(y)
                 tau, rho, mdccm = XC.cross_correlate(
                     win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
                 )
@@ -309,6 +361,41 @@ class NarrowBandPipeline:
             return res
 
         return step
+
+    def _xcorr_bucketed(self, y):
+        """Per-winlen-bucket xcorr: compact (Wmax_g, Lmax_g) grids per bucket.
+
+        A dense-band sweep pads every band to the global Lmax AND Wmax; the
+        buckets cut both MXU matmuls to near their true sizes, then the
+        results are re-assembled into the full (B, Wmax, P) grid."""
+        plan = self.plan
+        Wmax = plan.max_windows
+        taus, rhos, mds = [], [], []
+        for bk in self._buckets:
+            yb = y[bk["band_idx"]]                      # (Bg, C, T)
+            win = extract_windows(
+                yb, bk["idx"], bk["len_mask"], bk["lengths"]
+            )
+            tau, rho, md = XC.cross_correlate_mxu(
+                win, self._pairs, bk["lag_mask"], bk["tables"], plan.fs,
+                precision=self.matmul_precision,
+                subsample=self.subsample_delays,
+                exact_peak=self.fast_mode, lag_half=bk["lag_half"],
+            )
+            pad = Wmax - tau.shape[1]
+            if pad:
+                tau = jnp.pad(tau, ((0, 0), (0, pad), (0, 0)))
+                rho = jnp.pad(rho, ((0, 0), (0, pad), (0, 0)))
+                md = jnp.pad(md, ((0, 0), (0, pad)))
+            taus.append(tau)
+            rhos.append(rho)
+            mds.append(md)
+        inv = self._bucket_inv_perm
+        return (
+            jnp.concatenate(taus, axis=0)[inv],
+            jnp.concatenate(rhos, axis=0)[inv],
+            jnp.concatenate(mds, axis=0)[inv],
+        )
 
     def _extract(self, y):
         """Window extraction: 'gather' | 'patches' (im2col) | 'strided'."""

@@ -70,6 +70,88 @@ def build_window_grid(plan: NarrowBandPlan) -> WindowGrid:
     )
 
 
+@dataclass(frozen=True)
+class BucketGrid:
+    """One window-length bucket of bands: a compact sub-grid.
+
+    Bands whose window lengths are close share one padded (Wmax_g, Lmax_g)
+    grid; a dense-band sweep (e.g. 50 adaptive bands, 30..60 s) otherwise
+    pads every band to the globally largest window AND the globally largest
+    window count, wasting ~2-3x of both the spectra and inverse-correlation
+    matmuls (the two MXU hot spots in ops/xcorr.py)."""
+
+    band_idx: np.ndarray     # (Bg,) int32 band indices into the full plan
+    idx: np.ndarray          # (Bg, Wmax_g, Lmax_g) gather indices
+    len_mask: np.ndarray     # (Bg, 1, 1, Lmax_g) float
+    lengths: np.ndarray      # (Bg,) int32
+    lag_mask: np.ndarray     # (Bg, nlag_g) bool
+    Wmax: int
+    Lmax: int
+
+
+def build_bucket_grids(
+    plan: NarrowBandPlan,
+    ratio: float = 1.3,
+    max_lag: int | None = None,
+) -> list:
+    """Partition bands into window-length buckets and build each sub-grid.
+
+    Bands are grouped greedily by descending ``winlensamp``: a band joins the
+    current bucket while ``Lmax_bucket / winlensamp <= ratio``.  Each bucket
+    gets its own compact gather/mask grid (its own Lmax and Wmax).  With
+    ``max_lag`` the per-bucket lag range is additionally capped to
+    ``[-max_lag, max_lag]`` (clamped to the bucket's own Lmax-1).
+    """
+    order = np.argsort([-wp.winlensamp for wp in plan.windows], kind="stable")
+    buckets: list = []
+    cur: list = []
+    cur_Lmax = 0
+    for b in order:
+        L = plan.windows[int(b)].winlensamp
+        if not cur:
+            cur, cur_Lmax = [int(b)], L
+        elif cur_Lmax / L <= ratio:
+            cur.append(int(b))
+        else:
+            buckets.append(cur)
+            cur, cur_Lmax = [int(b)], L
+    if cur:
+        buckets.append(cur)
+
+    grids = []
+    for band_list in buckets:
+        wps = [plan.windows[b] for b in band_list]
+        Lmax = max(wp.winlensamp for wp in wps)
+        Wmax = max(wp.n_windows for wp in wps)
+        half = Lmax - 1 if max_lag is None else min(int(max_lag), Lmax - 1)
+        nlag = 2 * half + 1
+        lags = np.arange(-half, half + 1)
+
+        Bg = len(band_list)
+        idx = np.zeros((Bg, Wmax, Lmax), dtype=np.int32)
+        len_mask = np.zeros((Bg, Lmax), dtype=np.float64)
+        lengths = np.zeros((Bg,), dtype=np.int32)
+        lag_mask = np.zeros((Bg, nlag), dtype=bool)
+        for g, wp in enumerate(wps):
+            L = wp.winlensamp
+            lengths[g] = L
+            len_mask[g, :L] = 1.0
+            lag_mask[g] = np.abs(lags) <= (L - 1)
+            for w, s0 in enumerate(wp.starts):
+                idx[g, w, :L] = s0 + np.arange(L)
+                idx[g, w, L:] = s0
+        grids.append(BucketGrid(
+            band_idx=np.asarray(band_list, dtype=np.int32),
+            idx=idx,
+            len_mask=len_mask.reshape(Bg, 1, 1, Lmax),
+            lengths=lengths,
+            lag_mask=lag_mask,
+            Wmax=Wmax,
+            Lmax=Lmax,
+        ))
+    return grids
+
+
 def extract_windows_strided(
     y: jnp.ndarray,          # (B, C, T) filtered waveforms
     plan: NarrowBandPlan,

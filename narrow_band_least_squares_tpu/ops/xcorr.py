@@ -60,6 +60,67 @@ def cross_correlate(
     return tau, rho, mdccm
 
 
+def exact_peak_refine(
+    win: jnp.ndarray,        # (B, W, C, Lmax) demeaned, zero-padded windows
+    pairs: jnp.ndarray,      # (P, 2)
+    k_idx: jnp.ndarray,      # (B, W, P) argmax index into the lag axis
+    lag_min: int,            # lag of index 0
+    lag_half: jnp.ndarray,   # (B,) max |lag| per band (winlen-1, capped)
+    refine: int = 1,         # also test +-refine neighbor lags
+    subsample: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact time-domain re-evaluation of the correlation peak.
+
+    Recomputes cc(l) = sum_t x_j(t+l) x_i(t) in float32 at the candidate lag
+    and its ``refine`` neighbors, re-argmaxes locally, and returns
+    (peak value, lag [samples, float]).  This makes a low-precision (bf16)
+    matmul search safe: the cheap pass only has to get the peak to within
+    ``refine`` samples; the returned rho/tau are exact at the chosen lag.
+    With ``subsample`` the three exact values around the winner give the
+    parabolic-vertex fractional lag.
+    """
+    B, W, C, L = win.shape
+    xi = win[:, :, pairs[:, 0], :]                      # (B, W, P, L)
+    xj = win[:, :, pairs[:, 1], :]
+    xj_pad = jnp.pad(xj, ((0, 0), (0, 0), (0, 0), (L, L)))
+    half = lag_half[:, None, None]                      # (B, 1, 1)
+    base = jnp.clip(k_idx + lag_min, -half, half)
+    t = jnp.arange(L, dtype=jnp.int32)
+
+    def cc_at(lag):
+        idx = lag[..., None] + L + t                    # (B, W, P, L)
+        shifted = jnp.take_along_axis(xj_pad, idx, axis=-1)
+        return jnp.sum(shifted * xi, axis=-1)
+
+    offs = list(range(-refine, refine + 1))
+    vals = []
+    lags = []
+    for off in offs:
+        lag = jnp.clip(base + off, -half, half)
+        lags.append(lag)
+        vals.append(cc_at(lag))
+    stacked = jnp.stack(vals, axis=0)                   # (2r+1, B, W, P)
+    lag_stack = jnp.stack(lags, axis=0)
+    kbest = jnp.argmax(stacked, axis=0)                 # (B, W, P)
+    peak = jnp.max(stacked, axis=0)
+    lag_best = jnp.take_along_axis(lag_stack, kbest[None], axis=0)[0]
+    frac = 0.0
+    if subsample:
+        n = len(offs)
+        km = jnp.clip(kbest - 1, 0, n - 1)
+        kp = jnp.clip(kbest + 1, 0, n - 1)
+        cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
+        cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
+        denom = cm - 2.0 * peak + cp
+        frac = jnp.where(
+            (jnp.abs(denom) > 1e-20) & (kbest > 0) & (kbest < n - 1),
+            0.5 * (cm - cp) / denom,
+            0.0,
+        )
+        frac = jnp.clip(frac, -0.5, 0.5)
+    return peak, lag_best.astype(win.dtype) + frac
+
+
 # --------------------------------------------------------------------------
 # MXU path: DFT-as-matmul cross-correlation
 # --------------------------------------------------------------------------
@@ -117,6 +178,9 @@ def cross_correlate_mxu(
     fs: float,
     precision=jax.lax.Precision.HIGHEST,
     subsample: bool = False,
+    exact_peak: bool = False,
+    lag_half: jnp.ndarray | None = None,   # (B,) max |lag|, for exact_peak
+    refine: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MXU cross-correlation; same contract as `cross_correlate`.
 
@@ -124,6 +188,11 @@ def cross_correlate_mxu(
     vertex through its two neighbors (classic three-point interpolation) —
     a beyond-reference extension (the reference quantizes delays to the
     sample grid); off by default for parity.
+
+    ``exact_peak=True`` re-evaluates the correlation exactly (float32,
+    time domain) at the argmax lag and its ``refine`` neighbors and takes
+    rho/tau from that local re-argmax — the fast-mode companion to a
+    low-``precision`` (bf16) matmul search (see `exact_peak_refine`).
     """
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
@@ -151,6 +220,20 @@ def cross_correlate_mxu(
     k_idx = jnp.argmax(cc_masked, axis=-1)
     peak = jnp.max(cc_masked, axis=-1)
     lag_min = tables.get("lag_min", -(Lmax - 1))
+    if exact_peak:
+        if lag_half is None:
+            lag_half = jnp.full((B,), Lmax - 1, jnp.int32)
+        peak, lag = exact_peak_refine(
+            win, pairs, k_idx, lag_min, lag_half,
+            refine=refine, subsample=subsample,
+        )
+        tau = lag / fs
+        Ei = energy[:, :, pairs[:, 0]]
+        Ej = energy[:, :, pairs[:, 1]]
+        denom = jnp.sqrt(Ei * Ej)
+        rho = jnp.where(denom > 0, peak / denom, 0.0)
+        mdccm = jnp.median(rho, axis=-1)
+        return tau, rho, mdccm
     frac = 0.0
     if subsample:
         nlag = cc_lin.shape[-1]

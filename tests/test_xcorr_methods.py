@@ -177,3 +177,121 @@ def test_subsample_interpolation_recovers_fractional_delay():
     assert err_int <= 0.5 / fs + 1e-6
     assert err_sub < err_int
     assert err_sub < 0.02  # sub-sample accuracy
+
+
+def test_bucketed_bands_match_plain(small_stream):
+    """bucket_bands=True (compact per-winlen-bucket grids) is numerically
+    equivalent to the single global grid, for OLS and LTS."""
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 4)
+    winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    for alpha in (1.0, 0.75):
+        ref = NarrowBandPipeline(plan, rij, alpha=alpha)
+        got = NarrowBandPipeline(plan, rij, alpha=alpha, bucket_bands=True,
+                                 bucket_ratio=1.3)
+        assert len(got._buckets) > 1  # the plan must actually split
+        r1 = ref.run_raw(st.data)
+        r2 = got.run_raw(st.data)
+        for k in ("vel", "baz", "mdccm", "sig_tau"):
+            np.testing.assert_allclose(
+                np.asarray(r1[k]), np.asarray(r2[k]), rtol=1e-4, atol=1e-5,
+            )
+        if alpha < 1.0:
+            assert np.array_equal(np.asarray(r1["flags"]),
+                                  np.asarray(r2["flags"]))
+
+
+def test_bucketed_bands_with_lag_cap(small_stream):
+    """Bucketing composes with the production max_lag_s cap."""
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+    winlens = get_winlenlist("adaptive", nbands, 30, 35, 25)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    full = NarrowBandPipeline(plan, rij, alpha=1.0)
+    got = NarrowBandPipeline(plan, rij, alpha=1.0, bucket_bands=True,
+                             max_lag_s=15.0)
+    r1 = full.run_raw(st.data)
+    r2 = got.run_raw(st.data)
+    good = np.asarray(r1["mdccm"]) > 0.6
+    np.testing.assert_allclose(
+        np.asarray(r1["vel"])[good], np.asarray(r2["vel"])[good],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_exact_peak_refine_fixes_off_by_one():
+    """The fast-mode refine op recovers the true lag and exact rho when the
+    low-precision search lands one sample off."""
+    rng = np.random.default_rng(7)
+    B, W, C, L = 1, 3, 4, 200
+    win = rng.standard_normal((B, W, C, L))
+    base = rng.standard_normal(L + 40)
+    true_lags = [0, 3, -5, 10]
+    for c, d in enumerate(true_lags):
+        win[0, 0, c] = base[20 - d : 20 - d + L]
+    win -= win.mean(axis=-1, keepdims=True)
+    pairs = pair_indices(C)
+    winj = jnp.asarray(win, jnp.float32)
+
+    # ground truth via the exact FFT path
+    lag_mask = jnp.ones((B, 2 * L - 1), dtype=bool)
+    tau_ref, rho_ref, _ = XC.cross_correlate(
+        winj, jnp.asarray(pairs), lag_mask, next_pow2(2 * L), 1.0
+    )
+    k_true = (np.asarray(tau_ref) + (L - 1)).astype(np.int32)
+
+    # perturb the argmax by +-1 and refine
+    k_off = jnp.asarray(k_true + rng.choice([-1, 1], size=k_true.shape))
+    lag_half = jnp.full((B,), L - 1, jnp.int32)
+    peak, lag = XC.exact_peak_refine(
+        winj, jnp.asarray(pairs), k_off, -(L - 1), lag_half, refine=1
+    )
+    np.testing.assert_array_equal(np.asarray(lag), np.asarray(tau_ref))
+    # exact peak matches the FFT-path peak value (rho_ref * sqrt(Ei*Ej))
+    energy = np.sum(win * win, axis=-1)
+    denom = np.sqrt(energy[:, :, pairs[:, 0]] * energy[:, :, pairs[:, 1]])
+    np.testing.assert_allclose(
+        np.asarray(peak) / denom, np.asarray(rho_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fast_mode_pipeline_matches_reference_path(small_stream):
+    """fast_mode (bf16 search + exact re-eval) stays within tolerance of the
+    full-precision pipeline on confident windows."""
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+    winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    ref = NarrowBandPipeline(plan, rij, alpha=1.0)
+    fast = NarrowBandPipeline(plan, rij, alpha=1.0, fast_mode=True)
+    r0 = ref.run_raw(st.data)
+    r1 = fast.run_raw(st.data)
+    good = np.asarray(r0["mdccm"]) > 0.6
+    np.testing.assert_allclose(np.asarray(r0["vel"])[good],
+                               np.asarray(r1["vel"])[good],
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r0["mdccm"])[good],
+                               np.asarray(r1["mdccm"])[good],
+                               rtol=5e-3, atol=5e-3)
