@@ -24,13 +24,31 @@ import os
 import numpy as np
 
 
+def _read_data_file(path, coords_path=None):
+    """ArrayStream from an .npz snapshot or a miniSEED file (native codec)."""
+    from narrow_band_least_squares_tpu.io.stream import ArrayStream
+
+    if path.endswith((".mseed", ".ms", ".msd", ".seed")):
+        from narrow_band_least_squares_tpu.io.ingest import (
+            mseed_to_stream, read_mseed,
+        )
+        if not coords_path:
+            raise SystemExit(
+                "miniSEED input needs --coords (JSON: {sid: [lat, lon]})"
+            )
+        with open(coords_path) as f:
+            coords = {k: tuple(v) for k, v in json.load(f).items()}
+        return mseed_to_stream(read_mseed(path), coords)
+    return ArrayStream.load_npz(path)
+
+
 def _load_stream(args, cfg):
-    from narrow_band_least_squares_tpu.io.stream import ArrayStream, gather_waveforms
+    from narrow_band_least_squares_tpu.io.stream import gather_waveforms
     from narrow_band_least_squares_tpu.io.synthetic import synthetic_plane_wave
     from narrow_band_least_squares_tpu.utils.timeutils import parse_utc
 
     if args.data:
-        return ArrayStream.load_npz(args.data)
+        return _read_data_file(args.data, getattr(args, "coords", None))
     if args.synthetic:
         dur = parse_utc(cfg.END) - parse_utc(cfg.START)
         return synthetic_plane_wave(
@@ -158,7 +176,6 @@ def cmd_run(args):
 
 def cmd_monitor(args):
     from narrow_band_least_squares_tpu.config import NBLSConfig
-    from narrow_band_least_squares_tpu.io.stream import ArrayStream
     from narrow_band_least_squares_tpu.models.streaming import StreamingMonitor
     from narrow_band_least_squares_tpu.utils.geometry import get_rij
     from narrow_band_least_squares_tpu.utils.plan import (
@@ -166,7 +183,7 @@ def cmd_monitor(args):
     )
 
     cfg = NBLSConfig.from_json(args.config) if args.config else NBLSConfig()
-    st = ArrayStream.load_npz(args.data)
+    st = _read_data_file(args.data, getattr(args, "coords", None))
     freqlist, nbands, _ = get_freqlist(
         cfg.FMIN, cfg.FMAX, cfg.FREQ_BAND_TYPE, cfg.NBANDS
     )
@@ -203,7 +220,8 @@ def main(argv=None):
     p_run = sub.add_parser("run", help="broadband + narrow-band processing")
     p_run.add_argument("--config", help="NBLSConfig JSON (defaults otherwise)")
     p_run.add_argument("--out", default="nbls_out")
-    p_run.add_argument("--data", help="ArrayStream .npz input")
+    p_run.add_argument("--data", help="ArrayStream .npz or miniSEED input")
+    p_run.add_argument("--coords", help="JSON {sid: [lat, lon]} for miniSEED")
     p_run.add_argument("--synthetic", action="store_true",
                        help="synthesize the canonical event (offline)")
     p_run.add_argument("--no-figures", action="store_true")
@@ -211,7 +229,9 @@ def main(argv=None):
 
     p_mon = sub.add_parser("monitor", help="segmented checkpoint/resume run")
     p_mon.add_argument("--config")
-    p_mon.add_argument("--data", required=True)
+    p_mon.add_argument("--data", required=True,
+                       help="ArrayStream .npz or miniSEED input")
+    p_mon.add_argument("--coords", help="JSON {sid: [lat, lon]} for miniSEED")
     p_mon.add_argument("--segment-s", type=float, default=1200.0)
     p_mon.add_argument("--out", default="nbls_monitor")
     p_mon.add_argument("--no-resume", action="store_true")

@@ -9,3 +9,11 @@ __all__ = [
     "write_txtfile",
     "read_txtfile",
 ]
+from narrow_band_least_squares_tpu.io.ingest import (  # noqa: F401
+    MSRecord,
+    RingBuffer,
+    StreamingIngest,
+    mseed_to_stream,
+    read_mseed,
+    read_mseed_records,
+)

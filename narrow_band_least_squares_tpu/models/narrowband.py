@@ -143,7 +143,7 @@ class NarrowBandPipeline:
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
         subsample_delays: bool = False,  # parabolic sub-sample lag refinement
-        bucket_bands: bool = False,      # compact per-winlen-bucket xcorr grids
+        bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
         bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
         fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
     ):
@@ -240,7 +240,14 @@ class NarrowBandPipeline:
         if max_lag is not None:
             half = np.minimum(half, max_lag)
         self._lag_half = jnp.asarray(half, jnp.int32)
-        self.bucket_bands = bool(bucket_bands) and xcorr_method == "mxu"
+        # bucketing is numerically equivalent to the global grid and ~2x
+        # faster (measured on v5e, both 8-band canonical and 50-band dense);
+        # it only composes with the gather extractor + mxu correlator.
+        self.bucket_bands = (
+            bool(bucket_bands)
+            and xcorr_method == "mxu"
+            and window_method == "gather"
+        )
         if xcorr_method == "mxu":
             tab = XC.precompute_dft_tables(
                 grid.Lmax, dtype=np.dtype(dtype), max_lag=max_lag

@@ -33,12 +33,53 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.nbls_read_tsv.argtypes = [
         ct.c_char_p, dp, dp, dp, dp, dp, dp, ct.c_int64,
     ]
+    # ingest runtime (miniSEED + ring buffer); absent in pre-ingest builds
+    try:
+        up = ct.POINTER(ct.c_uint8)
+        lib.nbls_mseed_scan.restype = ct.c_int
+        lib.nbls_mseed_scan.argtypes = [up, ct.c_int64, ip, ip]
+        lib.nbls_mseed_decode.restype = ct.c_int64
+        lib.nbls_mseed_decode.argtypes = [
+            up, ct.c_int64, ct.c_char_p, dp, dp, ip, dp,
+            ct.c_int64, ct.c_int64,
+        ]
+        lib.nbls_ring_create.restype = ct.c_void_p
+        lib.nbls_ring_create.argtypes = [ct.c_int64, ct.c_int64]
+        lib.nbls_ring_destroy.restype = None
+        lib.nbls_ring_destroy.argtypes = [ct.c_void_p]
+        lib.nbls_ring_append.restype = ct.c_int
+        lib.nbls_ring_append.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int64, dp, ct.c_int64,
+        ]
+        lib.nbls_ring_base.restype = ct.c_int64
+        lib.nbls_ring_base.argtypes = [ct.c_void_p]
+        lib.nbls_ring_ready.restype = ct.c_int64
+        lib.nbls_ring_ready.argtypes = [ct.c_void_p, ct.c_int64]
+        lib.nbls_ring_read.restype = ct.c_int64
+        lib.nbls_ring_read.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_double, dp,
+        ]
+        lib.nbls_ring_release.restype = None
+        lib.nbls_ring_release.argtypes = [ct.c_void_p, ct.c_int64]
+    except AttributeError:
+        pass
     return lib
 
 
+def _stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    for f in os.listdir(_DIR):
+        if f.endswith(".cpp") and os.path.getmtime(os.path.join(_DIR, f)) > so_mtime:
+            return True
+    return False
+
+
 def build(force: bool = False) -> bool:
-    """Compile the shared object in place; returns success."""
-    if os.path.exists(_SO) and not force:
+    """Compile the shared object in place; returns success.  Rebuilds when
+    any .cpp source is newer than the shared object."""
+    if not force and not _stale():
         return True
     try:
         subprocess.run(
@@ -57,7 +98,7 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     if _tried and not auto_build:
         return None
     _tried = True
-    if not os.path.exists(_SO) and auto_build:
+    if auto_build and _stale():
         build()
     if os.path.exists(_SO):
         try:

@@ -1,0 +1,464 @@
+// Streaming ingest runtime: miniSEED record decoder + multi-channel ring
+// buffer, for the continuous-monitoring workflow.
+//
+// The reference acquires data through ObsPy/FDSN on the host
+// (waveform_collection.gather_waveforms, reference example.py:91) and has no
+// streaming path at all — long runs are manual chunked reruns (SURVEY §3.5).
+// Production monitoring needs an ingest loop that keeps the device fed:
+// decode incoming records (miniSEED is the interchange format IRIS/IMS
+// stations emit), place samples into a gap-tracking ring buffer keyed by
+// absolute sample index, and hand out contiguous (chans, segment) blocks the
+// pipeline can consume.  Both pieces are native so a Python host thread can
+// sustain hundreds of MB/s without holding the GIL in hot loops.
+//
+// miniSEED v2 support: fixed 48-byte header, blockette walk to 1000
+// (encoding / word order / record length), encodings: 1 (int16), 3 (int32),
+// 4 (float32), 5 (float64), 10 (Steim1), 11 (Steim2).  Both byte orders.
+//
+// Exposed via ctypes from narrow_band_least_squares_tpu/native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// byte-order helpers
+// ---------------------------------------------------------------------------
+
+inline uint16_t load_u16(const uint8_t* p, bool big) {
+    return big ? (uint16_t)((p[0] << 8) | p[1])
+               : (uint16_t)((p[1] << 8) | p[0]);
+}
+inline int16_t load_i16(const uint8_t* p, bool big) {
+    return (int16_t)load_u16(p, big);
+}
+inline uint32_t load_u32(const uint8_t* p, bool big) {
+    return big ? ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                     ((uint32_t)p[2] << 8) | p[3]
+               : ((uint32_t)p[3] << 24) | ((uint32_t)p[2] << 16) |
+                     ((uint32_t)p[1] << 8) | p[0];
+}
+inline int32_t load_i32(const uint8_t* p, bool big) {
+    return (int32_t)load_u32(p, big);
+}
+inline float load_f32(const uint8_t* p, bool big) {
+    uint32_t u = load_u32(p, big);
+    float f;
+    std::memcpy(&f, &u, 4);
+    return f;
+}
+inline double load_f64(const uint8_t* p, bool big) {
+    uint64_t u = ((uint64_t)load_u32(p, big) << 32) | load_u32(p + 4, big);
+    if (!big) u = ((uint64_t)load_u32(p + 4, big) << 32) | load_u32(p, big);
+    double d;
+    std::memcpy(&d, &u, 8);
+    return d;
+}
+
+// days since 1970-01-01 for Jan 1 of `year` (civil-from-days, Hinnant)
+inline int64_t days_from_civil(int64_t y, unsigned m, unsigned d) {
+    y -= m <= 2;
+    const int64_t era = (y >= 0 ? y : y - 399) / 400;
+    const unsigned yoe = (unsigned)(y - era * 400);
+    const unsigned doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+    const unsigned doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+    return era * 146097 + (int64_t)doe - 719468;
+}
+
+// ---------------------------------------------------------------------------
+// miniSEED record parsing
+// ---------------------------------------------------------------------------
+
+struct RecordInfo {
+    char sid[64];        // "NET.STA.LOC.CHA"
+    double t0 = 0.0;     // epoch seconds of first sample
+    double fs = 0.0;
+    int64_t nsamp = 0;
+    int encoding = -1;
+    bool data_big = true;
+    int reclen = 0;
+    int data_offset = 0;
+};
+
+inline bool plausible_year(uint16_t y) { return y >= 1900 && y <= 2100; }
+
+// trim trailing spaces/NULs from fixed-width ASCII fields
+inline void trim_copy(char* dst, const uint8_t* src, int n) {
+    int end = n;
+    while (end > 0 && (src[end - 1] == ' ' || src[end - 1] == '\0')) --end;
+    std::memcpy(dst, src, end);
+    dst[end] = '\0';
+}
+
+// Parses header + blockette 1000 of one record.  Returns bytes consumed
+// (the record length), or negative on malformed input.
+int parse_record_header(const uint8_t* p, int64_t avail, RecordInfo& out) {
+    if (avail < 64) return -1;
+    // data header/quality indicator
+    char q = (char)p[6];
+    if (q != 'D' && q != 'R' && q != 'Q' && q != 'M') return -2;
+
+    // header byte order: sniff the year field
+    bool big = plausible_year(load_u16(p + 20, true));
+    if (!big && !plausible_year(load_u16(p + 20, false))) return -3;
+
+    uint16_t year = load_u16(p + 20, big);
+    uint16_t doy = load_u16(p + 22, big);
+    uint8_t hour = p[24], minute = p[25], sec = p[26];
+    uint16_t fract = load_u16(p + 28, big);  // 1e-4 s
+    uint16_t nsamp = load_u16(p + 30, big);
+    int16_t rfact = load_i16(p + 32, big);
+    int16_t rmult = load_i16(p + 34, big);
+    uint8_t act_flags = p[36];
+    int32_t time_corr = load_i32(p + 40, big);
+    uint16_t data_offset = load_u16(p + 44, big);
+    uint16_t blk_offset = load_u16(p + 46, big);
+
+    double fs = 0.0;
+    if (rfact > 0 && rmult > 0) fs = (double)rfact * rmult;
+    else if (rfact > 0 && rmult < 0) fs = -(double)rfact / rmult;
+    else if (rfact < 0 && rmult > 0) fs = -(double)rmult / rfact;
+    else if (rfact < 0 && rmult < 0) fs = 1.0 / ((double)rfact * rmult);
+
+    // SID: NET.STA.LOC.CHA
+    char sta[8], loc[4], cha[4], net[4];
+    trim_copy(sta, p + 8, 5);
+    trim_copy(loc, p + 13, 2);
+    trim_copy(cha, p + 15, 3);
+    trim_copy(net, p + 18, 2);
+    std::snprintf(out.sid, sizeof(out.sid), "%s.%s.%s.%s", net, sta, loc, cha);
+
+    double t0 = (double)(days_from_civil(year, 1, 1) + (int64_t)doy - 1) *
+                    86400.0 +
+                hour * 3600.0 + minute * 60.0 + sec + fract * 1e-4;
+    if (!(act_flags & 0x02)) t0 += time_corr * 1e-4;  // correction not applied
+
+    // blockette walk to 1000
+    int encoding = -1, reclen = 0;
+    bool data_big = big;
+    uint16_t boff = blk_offset;
+    int guard = 0;
+    while (boff >= 48 && boff + 8 <= avail && guard++ < 16) {
+        uint16_t btype = load_u16(p + boff, big);
+        uint16_t bnext = load_u16(p + boff + 2, big);
+        if (btype == 1000) {
+            encoding = p[boff + 4];
+            data_big = p[boff + 5] == 1;
+            reclen = 1 << p[boff + 6];
+            break;
+        }
+        if (bnext == 0 || bnext <= boff) break;
+        boff = bnext;
+    }
+    if (encoding < 0 || reclen < 64 || reclen > (1 << 20)) return -4;
+    if (reclen > avail) return -5;
+
+    out.t0 = t0;
+    out.fs = fs;
+    out.nsamp = nsamp;
+    out.encoding = encoding;
+    out.data_big = data_big;
+    out.reclen = reclen;
+    out.data_offset = data_offset;
+    return reclen;
+}
+
+// sign-extend the low `bits` of v
+inline int32_t sext(uint32_t v, int bits) {
+    uint32_t m = 1u << (bits - 1);
+    v &= (1u << bits) - 1;
+    return (int32_t)((v ^ m) - m);
+}
+
+// Steim1/2 share the frame layout: 64-byte frames of 16 big/little words,
+// word 0 = packed 2-bit nibbles; frame 0 words 1-2 = X0 / Xn integration
+// constants.  Differences accumulate from X0.
+int64_t decode_steim(const uint8_t* data, int nbytes, bool big, int version,
+                     int64_t nsamp, double* out) {
+    const int nframes = nbytes / 64;
+    int64_t n = 0;
+    int32_t x = 0;
+    bool have_x0 = false;
+    int32_t x0 = 0;
+    for (int f = 0; f < nframes && n < nsamp; ++f) {
+        const uint8_t* fr = data + (int64_t)f * 64;
+        uint32_t nib = load_u32(fr, big);
+        for (int w = 1; w < 16 && n < nsamp; ++w) {
+            int c = (int)((nib >> (2 * (15 - w))) & 0x3);
+            const uint8_t* wp = fr + 4 * w;
+            if (f == 0 && w == 1) { x0 = load_i32(wp, big); have_x0 = true; continue; }
+            if (f == 0 && w == 2) { continue; }  // Xn (reverse constant)
+            if (c == 0) continue;                 // non-data word
+            uint32_t v = load_u32(wp, big);
+            int32_t diffs[7];
+            int nd = 0;
+            if (c == 1) {  // four 8-bit differences (both versions)
+                for (int k = 0; k < 4; ++k)
+                    diffs[nd++] = (int8_t)((v >> (8 * (3 - k))) & 0xff);
+            } else if (version == 1) {
+                if (c == 2) {
+                    for (int k = 0; k < 2; ++k)
+                        diffs[nd++] = (int16_t)((v >> (16 * (1 - k))) & 0xffff);
+                } else {  // c == 3
+                    diffs[nd++] = (int32_t)v;
+                }
+            } else {  // Steim2
+                int dnib = (int)(v >> 30);
+                if (c == 2) {
+                    if (dnib == 1) diffs[nd++] = sext(v, 30);
+                    else if (dnib == 2)
+                        for (int k = 0; k < 2; ++k)
+                            diffs[nd++] = sext(v >> (15 * (1 - k)), 15);
+                    else if (dnib == 3)
+                        for (int k = 0; k < 3; ++k)
+                            diffs[nd++] = sext(v >> (10 * (2 - k)), 10);
+                    else return -10;  // dnib 0 invalid for c=2
+                } else {  // c == 3
+                    if (dnib == 0)
+                        for (int k = 0; k < 5; ++k)
+                            diffs[nd++] = sext(v >> (6 * (4 - k)), 6);
+                    else if (dnib == 1)
+                        for (int k = 0; k < 6; ++k)
+                            diffs[nd++] = sext(v >> (5 * (5 - k)), 5);
+                    else if (dnib == 2)
+                        for (int k = 0; k < 7; ++k)
+                            diffs[nd++] = sext(v >> (4 * (6 - k)), 4);
+                    else return -11;
+                }
+            }
+            for (int k = 0; k < nd && n < nsamp; ++k) {
+                if (n == 0 && have_x0) {
+                    x = x0;  // first sample = forward constant; diff ignored
+                } else {
+                    x += diffs[k];
+                }
+                out[n++] = (double)x;
+            }
+        }
+    }
+    return n;
+}
+
+int64_t decode_data(const RecordInfo& ri, const uint8_t* rec, double* out) {
+    const uint8_t* d = rec + ri.data_offset;
+    const int nbytes = ri.reclen - ri.data_offset;
+    const bool big = ri.data_big;
+    const int64_t ns = ri.nsamp;
+    switch (ri.encoding) {
+        case 1:  // int16
+            if ((int64_t)nbytes < 2 * ns) return -20;
+            for (int64_t i = 0; i < ns; ++i) out[i] = load_i16(d + 2 * i, big);
+            return ns;
+        case 3:  // int32
+            if ((int64_t)nbytes < 4 * ns) return -20;
+            for (int64_t i = 0; i < ns; ++i) out[i] = load_i32(d + 4 * i, big);
+            return ns;
+        case 4:  // float32
+            if ((int64_t)nbytes < 4 * ns) return -20;
+            for (int64_t i = 0; i < ns; ++i) out[i] = load_f32(d + 4 * i, big);
+            return ns;
+        case 5:  // float64
+            if ((int64_t)nbytes < 8 * ns) return -20;
+            for (int64_t i = 0; i < ns; ++i) out[i] = load_f64(d + 8 * i, big);
+            return ns;
+        case 10:
+            return decode_steim(d, nbytes, big, 1, ns, out);
+        case 11:
+            return decode_steim(d, nbytes, big, 2, ns, out);
+        default:
+            return -21;  // unsupported encoding
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan a buffer of concatenated records: counts records and total samples.
+// Returns 0, or a negative error code at the first malformed record.
+int nbls_mseed_scan(const uint8_t* buf, int64_t nbytes, int64_t* nrecords,
+                    int64_t* total_samples) {
+    int64_t off = 0, nrec = 0, nsamp = 0;
+    while (off + 64 <= nbytes) {
+        RecordInfo ri;
+        int consumed = parse_record_header(buf + off, nbytes - off, ri);
+        if (consumed < 0) return consumed;
+        nrec += 1;
+        nsamp += ri.nsamp;
+        off += consumed;
+    }
+    *nrecords = nrec;
+    *total_samples = nsamp;
+    return 0;
+}
+
+// Decode every record.  Caller allocates:
+//   sids:    max_records * 64 bytes
+//   t0s/fss: max_records doubles
+//   nsamps:  max_records int64 (samples decoded per record)
+//   samples: max_samples doubles (records' samples, concatenated)
+// Returns the number of records decoded, or a negative error code.
+int64_t nbls_mseed_decode(const uint8_t* buf, int64_t nbytes, char* sids,
+                          double* t0s, double* fss, int64_t* nsamps,
+                          double* samples, int64_t max_records,
+                          int64_t max_samples) {
+    int64_t off = 0, rec = 0, sout = 0;
+    while (off + 64 <= nbytes) {
+        RecordInfo ri;
+        int consumed = parse_record_header(buf + off, nbytes - off, ri);
+        if (consumed < 0) return consumed;
+        if (rec >= max_records) return -30;
+        if (sout + ri.nsamp > max_samples) return -31;
+        int64_t got = decode_data(ri, buf + off, samples + sout);
+        if (got < 0) return got;
+        std::memcpy(sids + rec * 64, ri.sid, 64);
+        t0s[rec] = ri.t0;
+        fss[rec] = ri.fs;
+        nsamps[rec] = got;
+        sout += got;
+        rec += 1;
+        off += consumed;
+    }
+    return rec;
+}
+
+// ---------------------------------------------------------------------------
+// Multi-channel gap-tracking ring buffer (absolute-sample-index addressed)
+// ---------------------------------------------------------------------------
+
+struct Ring {
+    int64_t nchans = 0;
+    int64_t cap = 0;
+    int64_t base = 0;      // lowest absolute index still representable
+    int64_t hi = 0;        // one past the highest index ever appended
+    bool started = false;  // base is set by the first append (may be < 0)
+    std::vector<double> data;    // nchans * cap
+    std::vector<uint8_t> valid;  // nchans * cap
+};
+
+// floor-mod: non-negative position for any absolute index
+inline int64_t rpos(int64_t i, int64_t cap) {
+    int64_t m = i % cap;
+    return m < 0 ? m + cap : m;
+}
+
+void* nbls_ring_create(int64_t nchans, int64_t capacity) {
+    if (nchans <= 0 || capacity <= 0) return nullptr;
+    Ring* r = new Ring();
+    r->nchans = nchans;
+    r->cap = capacity;
+    r->data.assign((size_t)(nchans * capacity), 0.0);
+    r->valid.assign((size_t)(nchans * capacity), 0);
+    return r;
+}
+
+void nbls_ring_destroy(void* h) { delete (Ring*)h; }
+
+// Append n samples of channel `chan` at absolute sample index `start`.
+// Duplicate/overlapping appends overwrite.  Appends past base+cap advance
+// the window (oldest data is invalidated).  Returns 0, or -1 on bad args,
+// -2 if the block is entirely below the current window (too old).
+int nbls_ring_append(void* h, int64_t chan, int64_t start, const double* x,
+                     int64_t n) {
+    Ring* r = (Ring*)h;
+    if (!r || chan < 0 || chan >= r->nchans || n < 0) return -1;
+    if (n == 0) return 0;
+    if (!r->started) {
+        r->base = start;
+        r->hi = start;
+        r->started = true;
+    }
+    int64_t end = start + n;
+    if (start < r->base && r->hi - start <= r->cap) {
+        // extend the window downward: positions below base cannot alias
+        // live data when hi - start fits within capacity
+        r->base = start;
+    }
+    if (end > r->base + r->cap) {
+        // advance the window so [end-cap, end) is representable
+        int64_t new_base = end - r->cap;
+        // invalidate [base, new_base) for all channels
+        int64_t drop = new_base - r->base;
+        if (drop >= r->cap) {
+            std::fill(r->valid.begin(), r->valid.end(), 0);
+        } else {
+            for (int64_t c = 0; c < r->nchans; ++c)
+                for (int64_t i = r->base; i < new_base; ++i)
+                    r->valid[(size_t)(c * r->cap + rpos(i, r->cap))] = 0;
+        }
+        r->base = new_base;
+    }
+    if (end <= r->base) return -2;
+    if (end > r->hi) r->hi = end;
+    int64_t lo = start < r->base ? r->base : start;
+    for (int64_t i = lo; i < end; ++i) {
+        size_t pos = (size_t)(chan * r->cap + rpos(i, r->cap));
+        r->data[pos] = x[i - start];
+        r->valid[pos] = 1;
+    }
+    return 0;
+}
+
+int64_t nbls_ring_base(void* h) { return ((Ring*)h)->base; }
+
+// Largest r such that every sample in [from_idx, r) is valid on EVERY
+// channel (the contiguous ready frontier the monitor can consume).
+int64_t nbls_ring_ready(void* h, int64_t from_idx) {
+    Ring* r = (Ring*)h;
+    if (!r) return -1;
+    if (from_idx < r->base) return from_idx;  // already dropped: not ready
+    int64_t i = from_idx;
+    int64_t hi = r->base + r->cap;
+    for (; i < hi; ++i) {
+        size_t p = (size_t)rpos(i, r->cap);
+        bool ok = true;
+        for (int64_t c = 0; c < r->nchans; ++c)
+            if (!r->valid[(size_t)(c * r->cap) + p]) { ok = false; break; }
+        if (!ok) break;
+    }
+    return i;
+}
+
+// Copy [start, start+n) for all channels into out (nchans, n) row-major,
+// writing `fill` where samples are missing.  Returns the number of missing
+// samples (0 = complete), or -1 on bad args.
+int64_t nbls_ring_read(void* h, int64_t start, int64_t n, double fill,
+                       double* out) {
+    Ring* r = (Ring*)h;
+    if (!r || n < 0) return -1;
+    int64_t missing = 0;
+    for (int64_t c = 0; c < r->nchans; ++c) {
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t idx = start + i;
+            if (idx < r->base || idx >= r->base + r->cap) {
+                out[c * n + i] = fill;
+                ++missing;
+                continue;
+            }
+            size_t pos = (size_t)(c * r->cap + rpos(idx, r->cap));
+            if (r->valid[pos]) {
+                out[c * n + i] = r->data[pos];
+            } else {
+                out[c * n + i] = fill;
+                ++missing;
+            }
+        }
+    }
+    return missing;
+}
+
+// Invalidate everything below idx (consumed data the monitor is done with).
+void nbls_ring_release(void* h, int64_t idx) {
+    Ring* r = (Ring*)h;
+    if (!r || idx <= r->base) return;
+    int64_t hi = idx < r->base + r->cap ? idx : r->base + r->cap;
+    for (int64_t c = 0; c < r->nchans; ++c)
+        for (int64_t i = r->base; i < hi; ++i)
+            r->valid[(size_t)(c * r->cap + rpos(i, r->cap))] = 0;
+    r->base = idx;
+}
+
+}  // extern "C"

@@ -121,6 +121,65 @@ def exact_peak_refine(
     return peak, lag_best.astype(win.dtype) + frac
 
 
+def exact_peak_refine_freq(
+    ReCS: jnp.ndarray,       # (B, W, P, K) accurate cross-spectra (real)
+    ImCS: jnp.ndarray,       # (B, W, P, K)
+    tables: Dict[str, jnp.ndarray],
+    k_idx: jnp.ndarray,      # (B, W, P) argmax index into the lag axis
+    lag_min: int,
+    lag_half: jnp.ndarray,   # (B,) max |lag| per band
+    refine: int = 1,
+    subsample: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-friendly exact peak re-evaluation in the frequency domain.
+
+    Evaluates cc(l) = Re(CS) . Ec[:, l] - Im(CS) . Es[:, l] in float32 at the
+    candidate lag and its ``refine`` neighbors by ROW-gathering the inverse
+    DFT tables (an embedding-style lookup — contiguous (K,) rows — which the
+    TPU handles well, unlike per-element gathers along the minor axis).
+    Re-argmaxes locally and returns (peak value, lag [samples, float]).
+    The result is f32-exact given f32-accurate cross-spectra, so the big
+    inverse matmul can run in pure bf16.
+    """
+    EcT = tables["Ec"].T                           # (nlag, K)
+    EsT = tables["Es"].T
+    nlag = EcT.shape[0]
+    half = lag_half[:, None, None]
+    k_lo = (-half) - lag_min
+    k_hi = half - lag_min
+    base = jnp.clip(k_idx, k_lo, k_hi)
+    vals = []
+    ks = []
+    for off in range(-refine, refine + 1):
+        k = jnp.clip(base + off, jnp.maximum(k_lo, 0),
+                     jnp.minimum(k_hi, nlag - 1))
+        ec = jnp.take(EcT, k, axis=0)              # (B, W, P, K)
+        es = jnp.take(EsT, k, axis=0)
+        vals.append(jnp.sum(ReCS * ec - ImCS * es, axis=-1))
+        ks.append(k)
+    stacked = jnp.stack(vals, axis=0)              # (2r+1, B, W, P)
+    k_stack = jnp.stack(ks, axis=0)
+    kbest = jnp.argmax(stacked, axis=0)
+    peak = jnp.max(stacked, axis=0)
+    k_sel = jnp.take_along_axis(k_stack, kbest[None], axis=0)[0]
+    frac = 0.0
+    if subsample:
+        n = stacked.shape[0]
+        km = jnp.clip(kbest - 1, 0, n - 1)
+        kp = jnp.clip(kbest + 1, 0, n - 1)
+        cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
+        cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
+        denom = cm - 2.0 * peak + cp
+        frac = jnp.where(
+            (jnp.abs(denom) > 1e-20) & (kbest > 0) & (kbest < n - 1),
+            0.5 * (cm - cp) / denom,
+            0.0,
+        )
+        frac = jnp.clip(frac, -0.5, 0.5)
+    lag = k_sel.astype(ReCS.dtype) + lag_min + frac
+    return peak, lag
+
+
 # --------------------------------------------------------------------------
 # MXU path: DFT-as-matmul cross-correlation
 # --------------------------------------------------------------------------
@@ -197,11 +256,16 @@ def cross_correlate_mxu(
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
 
-    mm = lambda a, b: jnp.dot(a, b, precision=precision,
-                              preferred_element_type=jnp.float32)
+    # fast mode (exact_peak): the SMALL spectra matmul stays accurate (HIGH,
+    # bf16x3) so the cross-spectra are ~f32; only the big inverse-DFT matmul
+    # runs at the cheap precision, and the peak is re-evaluated exactly from
+    # the accurate cross-spectra afterwards.
+    spec_precision = jax.lax.Precision.HIGH if exact_peak else precision
+    mm = lambda a, b, p: jnp.dot(a, b, precision=p,
+                                 preferred_element_type=jnp.float32)
     flat = win.reshape(B * W * C, Lmax)
-    ReF = mm(flat, tables["Cf"]).reshape(B, W, C, -1)
-    ImF = (-mm(flat, tables["Sf"])).reshape(B, W, C, -1)
+    ReF = mm(flat, tables["Cf"], spec_precision).reshape(B, W, C, -1)
+    ImF = (-mm(flat, tables["Sf"], spec_precision)).reshape(B, W, C, -1)
 
     ReI, ImI = ReF[:, :, pairs[:, 0], :], ImF[:, :, pairs[:, 0], :]
     ReJ, ImJ = ReF[:, :, pairs[:, 1], :], ImF[:, :, pairs[:, 1], :]
@@ -211,8 +275,8 @@ def cross_correlate_mxu(
     K = ReCS.shape[-1]
     P = pairs.shape[0]
     cc_lin = (
-        mm(ReCS.reshape(-1, K), tables["Ec"])
-        - mm(ImCS.reshape(-1, K), tables["Es"])
+        mm(ReCS.reshape(-1, K), tables["Ec"], precision)
+        - mm(ImCS.reshape(-1, K), tables["Es"], precision)
     ).reshape(B, W, P, -1)                           # (B, W, P, nlag)
 
     mask = lag_mask[:, None, None, :]
@@ -223,8 +287,8 @@ def cross_correlate_mxu(
     if exact_peak:
         if lag_half is None:
             lag_half = jnp.full((B,), Lmax - 1, jnp.int32)
-        peak, lag = exact_peak_refine(
-            win, pairs, k_idx, lag_min, lag_half,
+        peak, lag = exact_peak_refine_freq(
+            ReCS, ImCS, tables, k_idx, lag_min, lag_half,
             refine=refine, subsample=subsample,
         )
         tau = lag / fs

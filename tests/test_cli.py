@@ -59,3 +59,43 @@ def test_nyquist_validation(stream_npz, tmp_path):
     with pytest.raises(ValueError, match="Nyquist"):
         main(["run", "--data", stream_npz, "--out", str(tmp_path / "x"),
               "--no-figures"])
+
+
+def test_monitor_mseed_input(small_stream, cfg_json, tmp_path, capsys):
+    """monitor accepts miniSEED input decoded by the native codec."""
+    pytest.importorskip("narrow_band_least_squares_tpu.native")
+    from narrow_band_least_squares_tpu import native
+    from tests.test_ingest import make_int32_record
+
+    lib = native.get_lib(auto_build=True)
+    if lib is None or not hasattr(lib, "nbls_mseed_scan"):
+        pytest.skip("native ingest runtime unavailable")
+
+    st = small_stream
+    # int32-quantized copy of the synthetic stream as one record per chunk
+    scale = 1e4
+    buf = b""
+    coords = {}
+    for c in range(st.nchans):
+        sta = f"I53H{c + 1}"
+        sid = f"IM.{sta}..BDF"
+        coords[sid] = [st.latitudes[c], st.longitudes[c]]
+        x = (st.data[c] * scale).astype(int)
+        for k in range(0, st.npts, 500):
+            block = x[k : k + 500]
+            secs = k / st.fs
+            buf += make_int32_record(
+                list(block), sta=sta, fs=int(st.fs), reclen=4096,
+                mm=int(secs // 60), ss=int(secs % 60),
+            )
+    ms = str(tmp_path / "data.mseed")
+    with open(ms, "wb") as f:
+        f.write(buf)
+    cj = str(tmp_path / "coords.json")
+    with open(cj, "w") as f:
+        json.dump(coords, f)
+    out = str(tmp_path / "mon")
+    main(["monitor", "--config", cfg_json, "--data", ms, "--coords", cj,
+          "--segment-s", "150", "--out", out])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["segments_processed"] >= 1

@@ -194,7 +194,7 @@ def test_bucketed_bands_match_plain(small_stream):
     plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
     rij = get_rij(st.latitudes, st.longitudes, st.nchans)
     for alpha in (1.0, 0.75):
-        ref = NarrowBandPipeline(plan, rij, alpha=alpha)
+        ref = NarrowBandPipeline(plan, rij, alpha=alpha, bucket_bands=False)
         got = NarrowBandPipeline(plan, rij, alpha=alpha, bucket_bands=True,
                                  bucket_ratio=1.3)
         assert len(got._buckets) > 1  # the plan must actually split
