@@ -34,6 +34,7 @@ from narrow_band_least_squares_tpu.ops.windows import (
     extract_windows,
     extract_windows_patches,
     extract_windows_strided,
+    extract_windows_strided_bucket,
 )
 from narrow_band_least_squares_tpu.utils.geometry import coarray
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
@@ -138,7 +139,8 @@ class NarrowBandPipeline:
         taper_percentage: float = 0.01,
         max_lts_candidates: int = 4096,
         xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' | 'pallas'
-        window_method: str = "gather",   # 'gather' | 'strided' (faster op, heavy compile)
+        window_method: str = "strided",  # 'strided' (reshape-based; v5e: 1.2 ms
+        #   vs 5.9 ms gather on the canonical extract) | 'gather' | 'patches'
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
@@ -242,11 +244,11 @@ class NarrowBandPipeline:
         self._lag_half = jnp.asarray(half, jnp.int32)
         # bucketing is numerically equivalent to the global grid and ~2x
         # faster (measured on v5e, both 8-band canonical and 50-band dense);
-        # it only composes with the gather extractor + mxu correlator.
+        # it composes with the gather/strided extractors + mxu correlator.
         self.bucket_bands = (
             bool(bucket_bands)
             and xcorr_method == "mxu"
-            and window_method == "gather"
+            and window_method in ("gather", "strided")
         )
         if xcorr_method == "mxu":
             tab = XC.precompute_dft_tables(
@@ -274,6 +276,7 @@ class NarrowBandPipeline:
                     if max_lag is not None:
                         bhalf = np.minimum(bhalf, max_lag)
                     self._buckets.append({
+                        "grid": g,
                         "band_idx": g.band_idx,
                         "lag_half": jnp.asarray(bhalf, jnp.int32),
                         "idx": jnp.asarray(g.idx),
@@ -379,10 +382,16 @@ class NarrowBandPipeline:
         Wmax = plan.max_windows
         taus, rhos, mds = [], [], []
         for bk in self._buckets:
-            yb = y[bk["band_idx"]]                      # (Bg, C, T)
-            win = extract_windows(
-                yb, bk["idx"], bk["len_mask"], bk["lengths"]
-            )
+            if self.window_method == "strided":
+                win = extract_windows_strided_bucket(
+                    y, plan.windows, bk["grid"], bk["len_mask"],
+                    bk["lengths"],
+                )
+            else:
+                yb = y[bk["band_idx"]]                  # (Bg, C, T)
+                win = extract_windows(
+                    yb, bk["idx"], bk["len_mask"], bk["lengths"]
+                )
             tau, rho, md = XC.cross_correlate_mxu(
                 win, self._pairs, bk["lag_mask"], bk["tables"], plan.fs,
                 precision=self.matmul_precision,

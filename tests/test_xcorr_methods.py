@@ -295,3 +295,32 @@ def test_fast_mode_pipeline_matches_reference_path(small_stream):
     np.testing.assert_allclose(np.asarray(r0["mdccm"])[good],
                                np.asarray(r1["mdccm"])[good],
                                rtol=5e-3, atol=5e-3)
+
+
+def test_strided_bucketed_matches_gather_bucketed(small_stream):
+    """window_method='strided' composes with bucketing: exact equivalence."""
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 4)
+    winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    for alpha in (1.0, 0.75):
+        ref = NarrowBandPipeline(plan, rij, alpha=alpha)
+        got = NarrowBandPipeline(plan, rij, alpha=alpha,
+                                 window_method="strided")
+        assert got.bucket_bands and len(got._buckets) > 1
+        r1 = ref.run_raw(st.data)
+        r2 = got.run_raw(st.data)
+        for k in ("vel", "baz", "mdccm", "sig_tau"):
+            np.testing.assert_allclose(
+                np.asarray(r1[k]), np.asarray(r2[k]), rtol=1e-5, atol=1e-6,
+            )
+        if alpha < 1.0:
+            assert np.array_equal(np.asarray(r1["flags"]),
+                                  np.asarray(r2["flags"]))
