@@ -186,12 +186,18 @@ def gather_waveforms(
     try:
         from obspy.clients.fdsn import Client  # type: ignore
         from obspy import UTCDateTime  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "gather_waveforms over FDSN requires ObsPy, which is not installed. "
-            "Use io.synthetic.synthetic_plane_wave, ArrayStream.load_npz, or "
-            "install obspy."
-        ) from e
+    except ImportError:
+        # ObsPy-free fallback: stdlib FDSN client + native miniSEED codec
+        # (sensitivity-only response correction; see io/fdsn.py docstring)
+        from narrow_band_least_squares_tpu.io.fdsn import gather_waveforms_fdsn
+
+        out = gather_waveforms_fdsn(
+            source, network, station, location, channel, starttime, endtime,
+            remove_response=remove_response,
+        )
+        if cache:
+            out.save_npz(cache)
+        return out
 
     client = Client(source)
     t0 = UTCDateTime(parse_utc(starttime))
