@@ -144,6 +144,7 @@ class NarrowBandPipeline:
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
+        lts_funnel_k: int = 0,           # >0: FAST-LTS funnel (top-K survivors)
         subsample_delays: bool = False,  # parabolic sub-sample lag refinement
         bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
         bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
@@ -164,6 +165,7 @@ class NarrowBandPipeline:
         self.dtype = dtype
         self.c_steps = c_steps
         self.lts_candidate_chunk = lts_candidate_chunk
+        self.lts_funnel_k = int(lts_funnel_k)
         self.subsample_delays = subsample_delays
         self.nchans = self.rij.shape[1]
 
@@ -357,6 +359,7 @@ class NarrowBandPipeline:
                     tau, self._X, self._cand, self._Ainv, self._cand_ok,
                     self.h, self.c_steps,
                     candidate_chunk=self.lts_candidate_chunk,
+                    funnel_k=self.lts_funnel_k,
                 )
                 retained = out["retained"]
 

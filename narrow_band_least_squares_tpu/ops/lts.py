@@ -75,13 +75,8 @@ def _residuals2(tau: jnp.ndarray, X: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray
     return r * r
 
 
-def _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps):
-    """Elemental solves + C-steps for one candidate block.
-
-    Returns (obj (..., Q), s (..., Q, 2)).
-    """
-    tau_pairs = tau[..., cand]                        # (..., Q, 2)
-    s = jnp.einsum("qij,...qj->...qi", Ainv, tau_pairs)
+def _c_steps(tau, X, s, h, n_steps):
+    """n concentration steps on a candidate block s (..., Q, 2)."""
 
     def c_step(_, s):
         r2 = _residuals2(tau, X, s)                   # (..., Q, P)
@@ -92,15 +87,42 @@ def _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps):
         weight = (r2 <= kth).astype(tau.dtype)
         return masked_refit(tau[..., None, :], X, weight)
 
-    s = jax.lax.fori_loop(0, c_steps, c_step, s)
+    return jax.lax.fori_loop(0, n_steps, c_step, s)
 
-    # objective: sum of the h smallest squared residuals of each candidate fit
+
+def _trimmed_objective(tau, X, s, h):
+    """Sum of the h smallest squared residuals of each candidate fit."""
     r2 = _residuals2(tau, X, s)
     rank = _rank_along_last(r2)
     sel = (rank < h).astype(tau.dtype)
     obj = jnp.sum(sel * r2, axis=-1)                  # (..., Q)
+    return jnp.where(jnp.isnan(obj), jnp.inf, obj)
+
+
+def _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps, funnel_k=0):
+    """Elemental solves + C-steps for one candidate block.
+
+    ``funnel_k > 0`` applies the FAST-LTS funnel: ONE C-step on every
+    candidate, then the remaining ``c_steps - 1`` only on the ``funnel_k``
+    best (by trimmed objective) — the standard Rousseeuw & Van Driessen
+    two-stage schedule, vectorized.  Returns (obj (..., K), s (..., K, 2)).
+    """
+    tau_pairs = tau[..., cand]                        # (..., Q, 2)
+    s = jnp.einsum("qij,...qj->...qi", Ainv, tau_pairs)
+
+    if funnel_k and funnel_k < cand.shape[0] and c_steps > 1:
+        s = _c_steps(tau, X, s, h, 1)
+        obj = _trimmed_objective(tau, X, s, h)
+        obj = jnp.where(cand_ok, obj, jnp.inf)
+        _, topi = jax.lax.top_k(-obj, funnel_k)       # (..., K)
+        s = jnp.take_along_axis(s, topi[..., None], axis=-2)
+        s = _c_steps(tau, X, s, h, c_steps - 1)
+        obj = _trimmed_objective(tau, X, s, h)        # survivors all valid
+        return obj, s
+
+    s = _c_steps(tau, X, s, h, c_steps)
+    obj = _trimmed_objective(tau, X, s, h)
     obj = jnp.where(cand_ok, obj, jnp.inf)
-    obj = jnp.where(jnp.isnan(obj), jnp.inf, obj)
     return obj, s
 
 
@@ -113,12 +135,14 @@ def lts_solve(
     h: int,
     c_steps: int = 4,
     candidate_chunk: int = 0,
+    funnel_k: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Batched exact-enumeration LTS.
 
     ``candidate_chunk > 0`` sweeps candidates in blocks via ``lax.map`` so
     peak memory is bounded for large arrays (P ~ 100 -> thousands of
-    elemental candidates) at identical results.
+    elemental candidates) at identical results.  ``funnel_k > 0`` runs the
+    FAST-LTS funnel schedule inside each sweep (see `_candidate_sweep`).
 
     Returns vel, baz, sig_tau, vel_uncert, baz_uncert, s, retained
     (..., P bool; True = equation kept).
@@ -139,7 +163,8 @@ def lts_solve(
 
         def block(args):
             cb, ab, ob = args
-            obj_b, s_b = _candidate_sweep(tau, X, cb, ab, ob, h, c_steps)
+            obj_b, s_b = _candidate_sweep(tau, X, cb, ab, ob, h, c_steps,
+                                          funnel_k)
             best_b = jnp.argmin(obj_b, axis=-1)       # (...,)
             obj_min = jnp.take_along_axis(
                 obj_b, best_b[..., None], axis=-1
@@ -156,7 +181,8 @@ def lts_solve(
             s_blocks, kbest[None, ..., None], axis=0
         )[0]
     else:
-        obj, s = _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps)
+        obj, s = _candidate_sweep(tau, X, cand, Ainv, cand_ok, h, c_steps,
+                                  funnel_k)
         best = jnp.argmin(obj, axis=-1)               # (...,)
         obj_best = jnp.min(obj, axis=-1)
         s_best = jnp.take_along_axis(

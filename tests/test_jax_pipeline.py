@@ -199,3 +199,35 @@ class TestLtsChunking:
             np.asarray(full["vel"]), np.asarray(chunked["vel"]),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_lts_funnel_matches_full_sweep(small_stream):
+    """The FAST-LTS funnel schedule (top-K survivors) reproduces the full
+    4-step sweep: same flags, same solutions, on clean and outlier data."""
+    import numpy as np
+    from narrow_band_least_squares_tpu.io.synthetic import synthetic_plane_wave
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = synthetic_plane_wave(
+        nchans=6, duration_s=300.0, fs=10.0, baz_deg=140.0,
+        trace_vel_kms=0.33, f0=0.6, bandwidth=0.8, snr=8.0, seed=9,
+        outlier_channels=(1,),
+    )
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 3)
+    winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    full = NarrowBandPipeline(plan, rij, alpha=0.75)
+    fun = NarrowBandPipeline(plan, rij, alpha=0.75, lts_funnel_k=16)
+    r0, r1 = full.run_raw(st.data), fun.run_raw(st.data)
+    # >=99% of flag decisions identical; estimates equal where flags agree
+    flags0, flags1 = np.asarray(r0["flags"]), np.asarray(r1["flags"])
+    assert np.mean(flags0 == flags1) > 0.99
+    same = (flags0 == flags1).all(axis=-1)
+    np.testing.assert_allclose(np.asarray(r0["vel"])[same],
+                               np.asarray(r1["vel"])[same],
+                               rtol=1e-5, atol=1e-6)
