@@ -324,21 +324,27 @@ def cross_correlate_mxu(
 
 def precompute_pallas_tables(
     Lmax: int, band_lengths: np.ndarray, dtype=np.float32,
+    max_lag: int | None = None,
 ) -> Dict[str, np.ndarray]:
-    """Stacked/padded DFT tables + per-band lag bounds for the fused kernel."""
-    tab = precompute_dft_tables(Lmax, dtype)
+    """Stacked/padded DFT tables + per-band lag bounds for the fused kernel.
+
+    ``max_lag`` caps the evaluated lag range to ``[-max_lag, max_lag]``
+    (production mode), exactly like `precompute_dft_tables`."""
+    half = Lmax - 1 if max_lag is None else min(int(max_lag), Lmax - 1)
+    tab = precompute_dft_tables(Lmax, dtype, max_lag=half)
     K = tab["Cf"].shape[1]
-    nlag = 2 * Lmax - 1
+    nlag = 2 * half + 1
     K2 = 2 * K
     K2p = _round_up_128(K2)
     e2 = np.zeros((K2p, nlag), dtype=dtype)
     e2[:K] = tab["Ec"]
     e2[K:K2] = -tab["Es"]
-    lo = (Lmax - np.asarray(band_lengths)).astype(np.int32)        # (B,)
-    hi = (Lmax - 2 + np.asarray(band_lengths)).astype(np.int32)
+    bh = np.minimum(np.asarray(band_lengths) - 1, half)            # (B,)
+    lo = (half - bh).astype(np.int32)
+    hi = (half + bh).astype(np.int32)
     return {
         "Cf": tab["Cf"], "Sf": tab["Sf"], "e2": e2,
-        "K": K, "K2p": K2p, "nlag": nlag,
+        "K": K, "K2p": K2p, "nlag": nlag, "lag_min": -half,
         "lo": lo, "hi": hi,
     }
 
@@ -388,7 +394,8 @@ def cross_correlate_pallas(
     )
     peak = peak.reshape(B, W, P)
     idx = idx.reshape(B, W, P)
-    tau = (idx.astype(win.dtype) - (Lmax - 1)) / fs
+    lag_min = tables.get("lag_min", -(Lmax - 1))
+    tau = (idx.astype(win.dtype) + lag_min) / fs
 
     Ei = energy[:, :, pairs[:, 0]]
     Ej = energy[:, :, pairs[:, 1]]

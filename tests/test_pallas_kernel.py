@@ -68,3 +68,34 @@ def test_pipeline_pallas_method(small_stream):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(r1["mdccm"]), np.asarray(r2["mdccm"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_pallas_bucketed_adaptive(small_stream):
+    """Bucketed pallas path (multiple winlen buckets + lag cap) == mxu."""
+    from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.5, "log", 4)
+    winlens = get_winlenlist("adaptive", nbands, 0, 40, 20)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+
+    for max_lag_s in (None, 1.5):
+        ref = NarrowBandPipeline(plan, rij, alpha=1.0, xcorr_method="mxu",
+                                 max_lag_s=max_lag_s)
+        got = NarrowBandPipeline(plan, rij, alpha=1.0, xcorr_method="pallas",
+                                 max_lag_s=max_lag_s)
+        assert got.bucket_bands and len(got._buckets) > 1
+        r1 = ref.run_raw(st.data)
+        r2 = got.run_raw(st.data)
+        np.testing.assert_allclose(np.asarray(r1["vel"]), np.asarray(r2["vel"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r1["baz"]), np.asarray(r2["baz"]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r1["mdccm"]),
+                                   np.asarray(r2["mdccm"]),
+                                   rtol=1e-4, atol=1e-4)
