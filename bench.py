@@ -17,6 +17,7 @@ Prints ONE JSON line; details go to BENCH_DETAILS.json.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -95,11 +96,15 @@ def main():
     details = {"device": str(dev), "workload": "example.py canonical (synthetic)",
                "solves_per_run": n_solves}
 
+    print("bench: cpu reference ...", file=sys.stderr, flush=True)
     t_cpu, cpu_out = bench_cpu_reference(st, freqlist, winlens, nbands)
     details["cpu_reference_s"] = t_cpu
+    print(f"bench: cpu reference {t_cpu:.1f}s", file=sys.stderr, flush=True)
 
     pipe = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=1.0)
+    print("bench: compiling/timing OLS step ...", file=sys.stderr, flush=True)
     t_ols = bench_chained(pipe, x)
+    print(f"bench: ols {t_ols*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_ols_s"] = t_ols
     details["ols_solves_per_s_per_chip"] = n_solves / t_ols
 
@@ -111,7 +116,9 @@ def main():
     details["median_vel_dev_vs_oracle_kms"] = med_dev
 
     pipe_lts = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=0.75)
+    print("bench: compiling/timing LTS step ...", file=sys.stderr, flush=True)
     t_lts = bench_chained(pipe_lts, x)
+    print(f"bench: lts {t_lts*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_lts_s"] = t_lts
     details["lts_solves_per_s_per_chip"] = n_solves / t_lts
 
@@ -123,7 +130,9 @@ def main():
     wl50 = get_winlenlist("adaptive", nb50, 50, 60, 30)
     plan50 = make_plan(fl50, "log", wl50, 0.5, st.npts, st.fs)
     pipe50 = NarrowBandPipeline(plan50, rij, filter_type="cheby1", alpha=1.0)
+    print("bench: compiling/timing dense50 step ...", file=sys.stderr, flush=True)
     t50 = bench_chained(pipe50, x, n_chain=5, repeats=3)
+    print(f"bench: dense50 {t50*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_dense50_s"] = t50
     details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
 
