@@ -26,7 +26,6 @@ from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
 from narrow_band_least_squares_tpu.ops import filters as F
 from narrow_band_least_squares_tpu.ops import lts as LTS
 from narrow_band_least_squares_tpu.ops import solve as SOLVE
-from narrow_band_least_squares_tpu.ops import xcorr as XC
 from narrow_band_least_squares_tpu.parallel.mesh import TIME_AXIS
 from narrow_band_least_squares_tpu.utils.geometry import coarray
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
@@ -53,7 +52,11 @@ class MultiArrayPipeline:
         dtype=jnp.float32,
         c_steps: int = 4,
         mesh=None,
+        **base_kwargs,
     ):
+        """``base_kwargs`` forwards the single-chip performance options
+        (xcorr_method, window_method, max_lag_s, bucket_bands, fast_mode,
+        lts_funnel_k, ...) to the underlying `NarrowBandPipeline`."""
         nchans = {r.shape[1] for r in rij_list}
         if len(nchans) != 1:
             raise ValueError(
@@ -66,11 +69,12 @@ class MultiArrayPipeline:
         self.dtype = dtype
 
         # base pipeline provides the shared (non-geometry) host constants
+        # AND the optimized extract->xcorr front half (base._delays)
         self.base = NarrowBandPipeline(
             plan, rij_list[0],
             filter_type=filter_type, filter_order=filter_order,
             filter_ripple=filter_ripple, alpha=alpha, dtype=dtype,
-            c_steps=c_steps,
+            c_steps=c_steps, **base_kwargs,
         )
         self.plan = plan
 
@@ -108,21 +112,19 @@ class MultiArrayPipeline:
             y = F.filter_bank_fft(
                 x, base._h_bank, base._taper, base.nfft_filter, base.zerophase
             )
-            win = base._extract(y)
-            if base.xcorr_method == "mxu":
-                tau, rho, mdccm = XC.cross_correlate_mxu(
-                    win, base._pairs, base._lag_mask, base._dft_tables, plan.fs
-                )
-            else:
-                tau, rho, mdccm = XC.cross_correlate(
-                    win, base._pairs, base._lag_mask, base.nfft_corr, plan.fs
-                )
+            # the single-chip optimized front half (bucketing, strided
+            # extraction, lag caps, fast mode) — shared with NarrowBandPipeline
+            tau, rho, mdccm = base._delays(y)
             if alpha == 1.0:
                 out = SOLVE.ols_solve(tau, X, pinv, XtX_inv)
                 retained = None
             else:
                 cand, Ainv, ok = lts_consts
-                out = LTS.lts_solve(tau, X, cand, Ainv, ok, self.h, base.c_steps)
+                out = LTS.lts_solve(
+                    tau, X, cand, Ainv, ok, self.h, base.c_steps,
+                    candidate_chunk=base.lts_candidate_chunk,
+                    funnel_k=base.lts_funnel_k,
+                )
                 retained = out["retained"]
             wm = base._win_mask
             res = {

@@ -230,6 +230,20 @@ class NarrowBandPipeline:
         # Throughput mode for strong-SNR production streams; the bf16 search
         # can land a cycle off on very-low-BT bands, hence opt-in.
         self.fast_mode = bool(fast_mode)
+        if xcorr_method == "pallas":
+            if self.fast_mode:
+                # the fused kernel has no exact-peak re-evaluation, so a
+                # bf16 search would silently degrade rho/tau accuracy
+                raise ValueError(
+                    "fast_mode requires xcorr_method='mxu' (the pallas "
+                    "kernel has no exact-peak re-evaluation safeguard)"
+                )
+            if subsample_delays:
+                logger.warning(
+                    "subsample_delays is ignored with xcorr_method='pallas' "
+                    "(the fused kernel returns integer-lag peaks); use "
+                    "xcorr_method='mxu' for parabolic sub-sample refinement"
+                )
         if self.fast_mode:
             self.matmul_precision = _lax.Precision.DEFAULT
         max_lag = None
@@ -320,9 +334,63 @@ class NarrowBandPipeline:
         self._step_batch = jax.jit(jax.vmap(self._make_step()))
 
     # ------------------------------------------------------------------
+    def _delays(self, y: jnp.ndarray):
+        """Filtered bank (B, C, T) -> (tau, rho, mdccm) over the window grid.
+
+        The extract->xcorr front half of the step, shared by the sharded
+        and multi-array pipelines so they inherit the bucketed/strided/
+        fast-mode optimizations."""
+        plan = self.plan
+        if self.bucket_bands:
+            return self._xcorr_bucketed(y)
+        win = self._extract(y)
+        if self.xcorr_method == "mxu":
+            return XC.cross_correlate_mxu(
+                win, self._pairs, self._lag_mask, self._dft_tables,
+                plan.fs, precision=self.matmul_precision,
+                subsample=self.subsample_delays,
+                exact_peak=self.fast_mode, lag_half=self._lag_half,
+            )
+        if self.xcorr_method == "pallas":
+            return XC.cross_correlate_pallas(
+                win, self._pairs, self._dft_tables, plan.fs,
+                interpret=self._pallas_interpret,
+                precision=self.matmul_precision,
+            )
+        return XC.cross_correlate(
+            win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
+        )
+
+    def _solve_masked(self, tau, mdccm, win_mask=None):
+        """Slowness solve + window-validity masking (closure constants)."""
+        if self.alpha == 1.0:
+            out = SOLVE.ols_solve(tau, self._X, self._pinv, self._XtX_inv)
+            retained = None
+        else:
+            out = LTS.lts_solve(
+                tau, self._X, self._cand, self._Ainv, self._cand_ok,
+                self.h, self.c_steps,
+                candidate_chunk=self.lts_candidate_chunk,
+                funnel_k=self.lts_funnel_k,
+            )
+            retained = out["retained"]
+        wm = self._win_mask if win_mask is None else win_mask
+        res = {
+            k: jnp.where(wm, out[k], 0.0)
+            for k in ("vel", "baz", "sig_tau", "vel_uncert", "baz_uncert")
+        }
+        res["mdccm"] = jnp.where(wm, mdccm, 0.0)
+        if retained is not None:
+            res["flags"] = (~retained) & wm[..., None]
+        return res
+
+    def _core(self, y: jnp.ndarray, win_mask=None) -> Dict[str, jnp.ndarray]:
+        """Everything after filtering: extract -> xcorr -> solve -> mask."""
+        tau, rho, mdccm = self._delays(y)
+        return self._solve_masked(tau, mdccm, win_mask)
+
     def _make_step(self):
         plan = self.plan
-        alpha = self.alpha
         apply_filter = self.apply_filter
 
         def step(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -335,49 +403,7 @@ class NarrowBandPipeline:
             else:
                 # ltsva contract: caller already filtered+tapered the data
                 y = jnp.broadcast_to(x[None], (plan.nbands,) + x.shape)
-
-            if self.bucket_bands:
-                tau, rho, mdccm = self._xcorr_bucketed(y)
-            elif self.xcorr_method == "mxu":
-                win = self._extract(y)
-                tau, rho, mdccm = XC.cross_correlate_mxu(
-                    win, self._pairs, self._lag_mask, self._dft_tables,
-                    plan.fs, precision=self.matmul_precision,
-                    subsample=self.subsample_delays,
-                    exact_peak=self.fast_mode, lag_half=self._lag_half,
-                )
-            elif self.xcorr_method == "pallas":
-                win = self._extract(y)
-                tau, rho, mdccm = XC.cross_correlate_pallas(
-                    win, self._pairs, self._dft_tables, plan.fs,
-                    interpret=self._pallas_interpret,
-                )
-            else:
-                win = self._extract(y)
-                tau, rho, mdccm = XC.cross_correlate(
-                    win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
-                )
-            if alpha == 1.0:
-                out = SOLVE.ols_solve(tau, self._X, self._pinv, self._XtX_inv)
-                retained = None
-            else:
-                out = LTS.lts_solve(
-                    tau, self._X, self._cand, self._Ainv, self._cand_ok,
-                    self.h, self.c_steps,
-                    candidate_chunk=self.lts_candidate_chunk,
-                    funnel_k=self.lts_funnel_k,
-                )
-                retained = out["retained"]
-
-            wm = self._win_mask
-            res = {
-                k: jnp.where(wm, out[k], 0.0)
-                for k in ("vel", "baz", "sig_tau", "vel_uncert", "baz_uncert")
-            }
-            res["mdccm"] = jnp.where(wm, mdccm, 0.0)
-            if retained is not None:
-                res["flags"] = (~retained) & wm[..., None]
-            return res
+            return self._core(y)
 
         return step
 

@@ -70,6 +70,7 @@ class StreamingMonitor:
         alpha: float = 1.0,
         mesh=None,
         max_retries: int = 1,
+        **pipe_kwargs,
     ):
         self.plan = plan
         self.freqlist = list(freqlist)
@@ -88,7 +89,7 @@ class StreamingMonitor:
         self.pipe = ShardedNarrowBandPipeline(
             plan, rij, mesh,
             filter_type=filter_type, filter_order=filter_order,
-            filter_ripple=filter_ripple, alpha=alpha,
+            filter_ripple=filter_ripple, alpha=alpha, **pipe_kwargs,
         )
         self.batch = mesh.shape["time"]
 

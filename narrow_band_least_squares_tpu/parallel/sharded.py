@@ -3,8 +3,9 @@
 The scaling story (SURVEY §2.3/§5 and BASELINE north star):
 
 - **Band axis**: embarrassingly parallel (the reference used a joblib process
-  per band).  Sharded with zero communication — each device holds its slice
-  of the filter bank, window grid and lag masks.
+  per band, reference ``narrow_band_least_squares.py:285``).  Sharded with
+  zero communication — each device holds its slice of the filter bank,
+  window grid and lag masks.
 - **Time axis**: a long waveform is tiled into equal segments; each segment
   is processed like one reference run.  The IIR filter needs warm-up state
   across the cut, so each shard sends the tail (one impulse length) of its
@@ -17,11 +18,27 @@ Window grids restart per segment (exactly the reference's chunked
 weeks/months workflow, SURVEY §3.5) so no window straddles a segment cut.
 Results come back as dense ``(S, B, Wmax)`` arrays sharded
 ``P('time', 'band', None)``; assembly to host is the final all-gather.
+
+Per-chip performance matches the single-chip pipeline:
+
+- band-unsharded meshes (``nb == 1``, pure time/data parallelism) reuse the
+  base pipeline's full optimized core — strided extraction, per-winlen
+  bucketing, lag caps, fast mode, the Pallas kernel — verbatim.
+- band-sharded meshes (``nb > 1``) run a **slot-bucketed** variant: bands
+  are dealt contiguously to shards, and within each shard the *local band
+  slots* are bucketed by window length.  SPMD requires one program for all
+  shards, so each bucket's static shapes are the elementwise max over
+  shards at the same slot (for the adaptive plans this is simply the
+  longest shard's bucket); the per-shard gather indices / masks / lag
+  bounds ride in as band-sharded constants.  Window extraction stays
+  gather-based under band sharding — the strided reshape specialization
+  needs per-band static hops, which differ across shards.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import logging
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -32,12 +49,12 @@ from jax import shard_map
 
 from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
 from narrow_band_least_squares_tpu.ops import filters as F
-from narrow_band_least_squares_tpu.ops import lts as LTS
-from narrow_band_least_squares_tpu.ops import solve as SOLVE
 from narrow_band_least_squares_tpu.ops import xcorr as XC
 from narrow_band_least_squares_tpu.ops.windows import extract_windows
 from narrow_band_least_squares_tpu.parallel.mesh import BAND_AXIS, TIME_AXIS
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
+
+logger = logging.getLogger("nbls_tpu")
 
 
 class ShardedNarrowBandPipeline:
@@ -50,6 +67,9 @@ class ShardedNarrowBandPipeline:
         halo: left-halo samples for IIR continuity across segment cuts;
             defaults to the filter-bank impulse length (exact warm-up) for
             causal filters and 0 for zero-phase.
+        Remaining keywords mirror `NarrowBandPipeline` — the single-chip
+        performance options (bucketing, lag caps, LTS funnel, fast mode)
+        are plumbed through so the per-chip step cost matches it.
     """
 
     def __init__(
@@ -64,6 +84,17 @@ class ShardedNarrowBandPipeline:
         dtype=jnp.float32,
         c_steps: int = 4,
         halo: Optional[int] = None,
+        xcorr_method: str = "mxu",
+        window_method: str = "strided",
+        max_lag_s: Optional[float] = None,
+        matmul_precision: str = "high",
+        lts_candidate_chunk: int = 0,
+        lts_funnel_k: int = 0,
+        subsample_delays: bool = False,
+        bucket_bands: bool = True,
+        bucket_ratio: float = 1.3,
+        fast_mode: bool = False,
+        max_lts_candidates: int = 4096,
     ):
         self.mesh = mesh
         self.nt = mesh.shape[TIME_AXIS]
@@ -73,18 +104,47 @@ class ShardedNarrowBandPipeline:
                 f"{plan.nbands} bands not divisible by band shards {self.nb}"
             )
 
+        if self.nb > 1:
+            # one SPMD program serves every band shard, so per-band static
+            # specializations fall back to shard-uniform equivalents
+            if xcorr_method == "pallas":
+                logger.warning(
+                    "xcorr_method='pallas' is not supported under band "
+                    "sharding; falling back to 'mxu'"
+                )
+                xcorr_method = "mxu"
+            if window_method != "gather":
+                logger.info(
+                    "band-sharded pipeline uses gather window extraction "
+                    "(strided reshapes need per-band static hops)"
+                )
+                window_method = "gather"
+        self.bucket_bands = bool(bucket_bands) and xcorr_method in (
+            "mxu", "pallas"
+        )
+
         # Reuse the single-device pipeline's host precomputation (jit in it
-        # is lazy, so constructing one costs only the host setup).
+        # is lazy, so constructing one costs only the host setup).  Under
+        # band sharding the slot buckets below replace the base's global
+        # buckets, so skip building those.
         base = NarrowBandPipeline(
             plan, rij,
             filter_type=filter_type, filter_order=filter_order,
             filter_ripple=filter_ripple, alpha=alpha,
             apply_filter=True, dtype=dtype, c_steps=c_steps,
+            xcorr_method=xcorr_method, window_method=window_method,
+            max_lag_s=max_lag_s, matmul_precision=matmul_precision,
+            lts_candidate_chunk=lts_candidate_chunk,
+            lts_funnel_k=lts_funnel_k, subsample_delays=subsample_delays,
+            bucket_bands=(self.bucket_bands and self.nb == 1),
+            bucket_ratio=bucket_ratio, fast_mode=fast_mode,
+            max_lts_candidates=max_lts_candidates,
         )
         self.base = base
         self.plan = plan
         self.alpha = float(alpha)
         self.dtype = dtype
+        self.max_lag_s = max_lag_s
 
         L = base._h_bank.shape[1]
         if halo is None:
@@ -93,81 +153,276 @@ class ShardedNarrowBandPipeline:
         self.T_ext = plan.npts + self.halo
         self.nfft_ext = F.next_pow2(self.T_ext + L)
 
-        self._consts_banded = (
-            base._h_bank, base._idx, base._win_mask, base._len_mask,
-            base._lengths, base._lag_mask,
-        )
+        if self.nb == 1:
+            self._mode = "core"
+        elif self.bucket_bands:
+            self._mode = "bucket"
+        else:
+            self._mode = "global"
+
+        if self._mode == "bucket":
+            max_lag = None
+            if max_lag_s is not None:
+                max_lag = int(max_lag_s * plan.fs)
+            self._build_slot_buckets(bucket_ratio, max_lag)
+
+        self._consts, self._consts_specs = self._build_consts()
         self._step = jax.jit(self._build_sharded_step())
         self._step_ext = jax.jit(self._build_sharded_step_extended())
         self._seg_step_jit = jax.jit(
             jax.vmap(
-                self._build_segment_step(),
-                in_axes=(0, None, None, None, None, None, None),
+                self._build_segment_step(nb_factor=self.nb),
+                in_axes=(0, None),
             )
         )
 
     # ------------------------------------------------------------------
-    def _build_segment_step(self):
+    def _build_slot_buckets(self, ratio: float, max_lag: Optional[int]):
+        """Bucket the per-shard band *slots* by window length.
+
+        Bands are dealt to shards contiguously (shard k owns bands
+        ``[k*B_loc, (k+1)*B_loc)``).  Slot i's template length is the max of
+        ``winlensamp`` across shards at that slot, so one static program
+        covers every shard; the actual per-band indices/masks ride in as
+        band-sharded data with layout ``row = shard*Bg + slot_position``.
+        """
+        plan, nb = self.plan, self.nb
+        B = plan.nbands
+        B_loc = B // nb
+        lens = np.array([wp.winlensamp for wp in plan.windows])
+        nwin = np.array([wp.n_windows for wp in plan.windows])
+        slot_len = lens.reshape(nb, B_loc).max(axis=0)
+        slot_win = nwin.reshape(nb, B_loc).max(axis=0)
+
+        order = np.argsort(-slot_len, kind="stable")
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        cur_L = 0
+        for s in order:
+            Ls = int(slot_len[s])
+            if not cur:
+                cur, cur_L = [int(s)], Ls
+            elif cur_L / Ls <= ratio:
+                cur.append(int(s))
+            else:
+                groups.append(cur)
+                cur, cur_L = [int(s)], Ls
+        if cur:
+            groups.append(cur)
+
+        dtype = np.dtype(self.dtype)
+        self._slot_buckets = []
+        self._bucket_tables = []
+        for slots in groups:
+            slots_np = np.asarray(slots, dtype=np.int64)
+            Lg = int(slot_len[slots_np].max())
+            Wg = int(slot_win[slots_np].max())
+            half = Lg - 1 if max_lag is None else min(int(max_lag), Lg - 1)
+            nlag = 2 * half + 1
+            lags = np.arange(-half, half + 1)
+            Bg = len(slots)
+
+            idx = np.zeros((nb * Bg, Wg, Lg), dtype=np.int32)
+            len_mask = np.zeros((nb * Bg, Lg), dtype=np.float64)
+            lengths = np.zeros((nb * Bg,), dtype=np.int32)
+            lag_mask = np.zeros((nb * Bg, nlag), dtype=bool)
+            lag_half = np.zeros((nb * Bg,), dtype=np.int32)
+            for k in range(nb):
+                for gi, s in enumerate(slots_np):
+                    b = k * B_loc + int(s)
+                    wp = plan.windows[b]
+                    Lb = wp.winlensamp
+                    r = k * Bg + gi
+                    lengths[r] = Lb
+                    len_mask[r, :Lb] = 1.0
+                    lag_mask[r] = np.abs(lags) <= (Lb - 1)
+                    lag_half[r] = min(Lb - 1, half)
+                    for w, s0 in enumerate(wp.starts):
+                        idx[r, w, :Lb] = s0 + np.arange(Lb)
+                        idx[r, w, Lb:] = s0
+            tab = XC.precompute_dft_tables(Lg, dtype, max_lag=half)
+            self._bucket_tables.append({
+                k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k, v in tab.items()
+            })
+            self._slot_buckets.append({
+                "slots": slots_np,
+                "idx": jnp.asarray(idx),
+                "len_mask": jnp.asarray(
+                    len_mask.reshape(nb * Bg, 1, 1, Lg), self.dtype
+                ),
+                "lengths": jnp.asarray(lengths, self.dtype),
+                "lag_mask": jnp.asarray(lag_mask),
+                "lag_half": jnp.asarray(lag_half, jnp.int32),
+            })
+
+    def _bucket_gathers(self, nb_factor: int) -> Tuple[List[np.ndarray], np.ndarray]:
+        """Static band-gather lists + inverse permutation for a given view.
+
+        ``nb_factor = 1``: the shard-local view (y has B_loc bands).
+        ``nb_factor = nb``: the unsharded oracle view (y has all B bands,
+        consts arrays used whole, rows laid out shard-major).
+        """
+        B_loc = self.plan.nbands // self.nb
+        gathers, rows_all = [], []
+        for bk in self._slot_buckets:
+            rows = np.concatenate(
+                [k * B_loc + bk["slots"] for k in range(nb_factor)]
+            )
+            gathers.append(rows.astype(np.int32))
+            rows_all.append(rows)
+        inv = np.argsort(np.concatenate(rows_all), kind="stable")
+        return gathers, inv.astype(np.int32)
+
+    # ------------------------------------------------------------------
+    def _build_segment_step(self, nb_factor: int):
         """Per-segment compute on a halo-extended block (pure function).
 
-        Takes (x_ext (C, halo+Tseg), h_bank, idx, win_mask, len_mask,
-        lengths, lag_mask) so the banded constants can be sharded when
-        called under shard_map, and closed-over replicated solver constants.
+        ``seg_step(x_ext, consts)`` where consts carries every band-sharded
+        constant (empty for band-unsharded meshes — the base pipeline's
+        closure constants are replicated).  ``nb_factor`` selects the
+        shard-local vs whole-band static gather lists (bucket mode only).
         """
         base = self.base
         plan = self.plan
         halo = self.halo
         nfft_ext = self.nfft_ext
-        alpha = self.alpha
+        mode = self._mode
+        Wmax = plan.max_windows
 
-        def seg_step(x_ext, h_bank, idx, win_mask, len_mask, lengths, lag_mask):
+        if mode == "bucket":
+            gathers, inv = self._bucket_gathers(nb_factor)
+            tables = self._bucket_tables
+
+        def seg_step(x_ext, consts):
+            h_bank = consts["h_bank"] if consts else base._h_bank
             y = F.filter_bank_fft(x_ext, h_bank, None, nfft_ext, base.zerophase)
             y = y[..., halo:] * base._taper[None, None, :]
-            # gather-based extraction: the index tensor is band-sharded, so
-            # one compiled program serves every band shard (the strided
-            # per-band reshape specialization cannot — each shard would need
-            # different static hops)
-            win = extract_windows(y, idx, len_mask, lengths)
+
+            if mode == "core":
+                # band axis unsharded: the single-chip optimized core
+                # (strided extraction, bucketing, pallas, fast mode) applies
+                return base._core(y)
+
+            if mode == "bucket":
+                taus, mds = [], []
+                for g, bk_c in enumerate(consts["buckets"]):
+                    yg = y[gathers[g]]
+                    win = extract_windows(
+                        yg, bk_c["idx"], bk_c["len_mask"], bk_c["lengths"]
+                    )
+                    tau, rho, md = XC.cross_correlate_mxu(
+                        win, base._pairs, bk_c["lag_mask"], tables[g],
+                        plan.fs, precision=base.matmul_precision,
+                        subsample=base.subsample_delays,
+                        exact_peak=base.fast_mode,
+                        lag_half=bk_c["lag_half"],
+                    )
+                    pad = Wmax - tau.shape[1]
+                    if pad:
+                        tau = jnp.pad(tau, ((0, 0), (0, pad), (0, 0)))
+                        md = jnp.pad(md, ((0, 0), (0, pad)))
+                    taus.append(tau)
+                    mds.append(md)
+                tau = jnp.concatenate(taus, axis=0)[inv]
+                mdccm = jnp.concatenate(mds, axis=0)[inv]
+                return base._solve_masked(tau, mdccm, consts["win_mask"])
+
+            # mode == "global": unbucketed gather over the full grid
+            win = extract_windows(
+                y, consts["idx"], consts["len_mask"], consts["lengths"]
+            )
             if base.xcorr_method == "mxu":
                 tau, rho, mdccm = XC.cross_correlate_mxu(
-                    win, base._pairs, lag_mask, base._dft_tables, plan.fs
+                    win, base._pairs, consts["lag_mask"], base._dft_tables,
+                    plan.fs, precision=base.matmul_precision,
+                    subsample=base.subsample_delays,
+                    exact_peak=base.fast_mode, lag_half=consts["lag_half"],
                 )
             else:
                 tau, rho, mdccm = XC.cross_correlate(
-                    win, base._pairs, lag_mask, base.nfft_corr, plan.fs
+                    win, base._pairs, consts["lag_mask"], base.nfft_corr,
+                    plan.fs,
                 )
-            if alpha == 1.0:
-                out = SOLVE.ols_solve(tau, base._X, base._pinv, base._XtX_inv)
-                retained = None
-            else:
-                out = LTS.lts_solve(
-                    tau, base._X, base._cand, base._Ainv, base._cand_ok,
-                    base.h, base.c_steps,
-                    candidate_chunk=base.lts_candidate_chunk,
-                )
-                retained = out["retained"]
-            res = {
-                k: jnp.where(win_mask, out[k], 0.0)
-                for k in ("vel", "baz", "sig_tau", "vel_uncert", "baz_uncert")
-            }
-            res["mdccm"] = jnp.where(win_mask, mdccm, 0.0)
-            if retained is not None:
-                res["flags"] = (~retained) & win_mask[..., None]
-            return res
+            return base._solve_masked(tau, mdccm, consts["win_mask"])
 
         return seg_step
 
+    def _build_consts(self):
+        """Band-sharded constants pytree + matching PartitionSpecs."""
+        base = self.base
+        if self._mode == "core":
+            return {}, {}
+        if self._mode == "bucket":
+            consts = {
+                "h_bank": base._h_bank,
+                "win_mask": base._win_mask,
+                "buckets": tuple(
+                    {
+                        "idx": bk["idx"],
+                        "len_mask": bk["len_mask"],
+                        "lengths": bk["lengths"],
+                        "lag_mask": bk["lag_mask"],
+                        "lag_half": bk["lag_half"],
+                    }
+                    for bk in self._slot_buckets
+                ),
+            }
+            specs = {
+                "h_bank": P(BAND_AXIS, None),
+                "win_mask": P(BAND_AXIS, None),
+                "buckets": tuple(
+                    {
+                        "idx": P(BAND_AXIS, None, None),
+                        "len_mask": P(BAND_AXIS, None, None, None),
+                        "lengths": P(BAND_AXIS),
+                        "lag_mask": P(BAND_AXIS, None),
+                        "lag_half": P(BAND_AXIS),
+                    }
+                    for _ in self._slot_buckets
+                ),
+            }
+            return consts, specs
+        consts = {
+            "h_bank": base._h_bank,
+            "win_mask": base._win_mask,
+            "idx": base._idx,
+            "len_mask": base._len_mask,
+            "lengths": base._lengths,
+            "lag_mask": base._lag_mask,
+            "lag_half": base._lag_half,
+        }
+        specs = {
+            "h_bank": P(BAND_AXIS, None),
+            "win_mask": P(BAND_AXIS, None),
+            "idx": P(BAND_AXIS, None, None),
+            "len_mask": P(BAND_AXIS, None, None, None),
+            "lengths": P(BAND_AXIS),
+            "lag_mask": P(BAND_AXIS, None),
+            "lag_half": P(BAND_AXIS),
+        }
+        return consts, specs
+
+    def _out_specs(self):
+        out3 = P(TIME_AXIS, BAND_AXIS, None)
+        out_specs = {
+            "vel": out3, "baz": out3, "sig_tau": out3,
+            "vel_uncert": out3, "baz_uncert": out3, "mdccm": out3,
+        }
+        if self.alpha < 1.0:
+            out_specs["flags"] = P(TIME_AXIS, BAND_AXIS, None, None)
+        return out_specs
+
     def _build_sharded_step(self):
-        seg_step = self._build_segment_step()
+        seg_step = self._build_segment_step(nb_factor=1)
         halo = self.halo
         Tseg = self.plan.npts
         nt = self.nt
-        dtype = self.dtype
 
-        def body(x, h_bank, idx, win_mask, len_mask, lengths, lag_mask):
+        def body(x, consts):
             # x: (S_loc, C, Tseg) — this shard's contiguous run of segments
-            tail = x[..., Tseg - halo:] if halo > 0 else None
             if halo > 0:
+                tail = x[..., Tseg - halo:]
                 # last local segment's tail -> right neighbor (no wraparound;
                 # device 0 receives zeros = cold start)
                 perm = [(i, i + 1) for i in range(nt - 1)]
@@ -176,32 +431,12 @@ class ShardedNarrowBandPipeline:
                 x_ext = jnp.concatenate([tails, x], axis=-1)
             else:
                 x_ext = x
-            return jax.vmap(
-                lambda xe: seg_step(
-                    xe, h_bank, idx, win_mask, len_mask, lengths, lag_mask
-                )
-            )(x_ext)
+            return jax.vmap(seg_step, in_axes=(0, None))(x_ext, consts)
 
-        banded2 = P(BAND_AXIS, None)
-        in_specs = (
-            P(TIME_AXIS, None, None),            # x (S, C, Tseg)
-            banded2,                             # h_bank (B, L)
-            P(BAND_AXIS, None, None),            # idx
-            banded2,                             # win_mask
-            P(BAND_AXIS, None, None, None),      # len_mask
-            P(BAND_AXIS),                        # lengths
-            banded2,                             # lag_mask
-        )
-        out3 = P(TIME_AXIS, BAND_AXIS, None)
-        out_specs = {
-            "vel": out3, "baz": out3, "sig_tau": out3,
-            "vel_uncert": out3, "baz_uncert": out3, "mdccm": out3,
-        }
-        if self.alpha < 1.0:
-            out_specs["flags"] = P(TIME_AXIS, BAND_AXIS, None, None)
-
+        in_specs = (P(TIME_AXIS, None, None), self._consts_specs)
         return shard_map(
-            body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            body, mesh=self.mesh, in_specs=in_specs,
+            out_specs=self._out_specs(),
         )
 
     def _build_sharded_step_extended(self):
@@ -212,34 +447,15 @@ class ShardedNarrowBandPipeline:
         stays correct for non-contiguous resume batches, where in-mesh
         ppermute chaining would stitch the wrong neighbors together.
         """
-        seg_step = self._build_segment_step()
+        seg_step = self._build_segment_step(nb_factor=1)
 
-        def body(x_ext, h_bank, idx, win_mask, len_mask, lengths, lag_mask):
-            return jax.vmap(
-                lambda xe: seg_step(
-                    xe, h_bank, idx, win_mask, len_mask, lengths, lag_mask
-                )
-            )(x_ext)
+        def body(x_ext, consts):
+            return jax.vmap(seg_step, in_axes=(0, None))(x_ext, consts)
 
-        banded2 = P(BAND_AXIS, None)
-        in_specs = (
-            P(TIME_AXIS, None, None),
-            banded2,
-            P(BAND_AXIS, None, None),
-            banded2,
-            P(BAND_AXIS, None, None, None),
-            P(BAND_AXIS),
-            banded2,
-        )
-        out3 = P(TIME_AXIS, BAND_AXIS, None)
-        out_specs = {
-            "vel": out3, "baz": out3, "sig_tau": out3,
-            "vel_uncert": out3, "baz_uncert": out3, "mdccm": out3,
-        }
-        if self.alpha < 1.0:
-            out_specs["flags"] = P(TIME_AXIS, BAND_AXIS, None, None)
+        in_specs = (P(TIME_AXIS, None, None), self._consts_specs)
         return shard_map(
-            body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            body, mesh=self.mesh, in_specs=in_specs,
+            out_specs=self._out_specs(),
         )
 
     def extend_segments(
@@ -266,7 +482,7 @@ class ShardedNarrowBandPipeline:
             np.asarray(x_ext, dtype=np.dtype(self.dtype)),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
-        out = self._step_ext(x, *self._consts_banded)
+        out = self._step_ext(x, self._consts)
         return {k: np.asarray(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
@@ -296,14 +512,15 @@ class ShardedNarrowBandPipeline:
             np.asarray(segments, dtype=np.dtype(self.dtype)),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
-        out = self._step(x, *self._consts_banded)
+        out = self._step(x, self._consts)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def run_reference_sequential(self, segments: np.ndarray) -> Dict[str, np.ndarray]:
         """Unsharded oracle for the sharded path: same halo chaining, one device.
 
-        Bitwise-comparable to `run` (same kernels, same segment extension),
-        used by the sharded==unsharded determinism tests.
+        Bitwise-comparable to `run` (same kernels, same segment extension,
+        same slot-bucket decomposition evaluated whole-band), used by the
+        sharded==unsharded determinism tests.
         """
         S, C, Tseg = segments.shape
         halo = self.halo
@@ -312,7 +529,5 @@ class ShardedNarrowBandPipeline:
             if halo > 0 and s > 0:
                 x_ext[s, :, :halo] = segments[s - 1][:, Tseg - halo:]
             x_ext[s, :, halo:] = segments[s]
-        out = self._seg_step_jit(
-            jnp.asarray(x_ext, self.dtype), *self._consts_banded
-        )
+        out = self._seg_step_jit(jnp.asarray(x_ext, self.dtype), self._consts)
         return {k: np.asarray(v) for k, v in out.items()}

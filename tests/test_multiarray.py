@@ -80,3 +80,20 @@ def test_mismatched_nchans_rejected(arrays):
     bad = rijs[:2] + [np.zeros((2, 6))]
     with pytest.raises(ValueError):
         MultiArrayPipeline(plan, bad)
+
+
+def test_optimized_options_match_individual(arrays):
+    """Round-2 plumbing: fast_mode/max_lag/funnel flow through run identically
+    to the single-array pipeline configured the same way."""
+    streams, plan, rijs = arrays
+    kw = dict(alpha=0.75, max_lag_s=8.0, fast_mode=True, lts_funnel_k=4)
+    batch = MultiArrayPipeline(plan, rijs, **kw)
+    assert batch.base.fast_mode and batch.base.bucket_bands
+    out = batch.run_raw(np.stack([s.data for s in streams]))
+    for k, (s, rij) in enumerate(zip(streams, rijs)):
+        ref = NarrowBandPipeline(plan, rij, **kw).run_raw(s.data)
+        np.testing.assert_allclose(
+            np.asarray(out["vel"][k]), np.asarray(ref["vel"]),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert (np.asarray(out["flags"][k]) == np.asarray(ref["flags"])).all()

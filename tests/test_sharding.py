@@ -33,7 +33,7 @@ def long_stream():
     )
 
 
-def _build(long_stream, alpha, nt, nb, seg_s=200.0):
+def _build(long_stream, alpha, nt, nb, seg_s=200.0, **kw):
     st = long_stream
     freqlist, nbands, _ = get_freqlist(0.2, 1.6, "log", 4)
     winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
@@ -42,7 +42,7 @@ def _build(long_stream, alpha, nt, nb, seg_s=200.0):
     rij = get_rij(st.latitudes, st.longitudes, st.nchans)
     mesh = make_mesh(nt, nb)
     pipe = ShardedNarrowBandPipeline(
-        plan, rij, mesh, filter_type="cheby1", alpha=alpha,
+        plan, rij, mesh, filter_type="cheby1", alpha=alpha, **kw,
     )
     segs = pipe.segment_stream(st.data)
     return pipe, segs
@@ -109,3 +109,98 @@ class TestHalo:
         baz = out["baz"][good]
         d = np.abs((baz - 310.0 + 180.0) % 360.0 - 180.0)
         assert np.median(d) < 5.0
+
+
+class TestOptimizedShardedPath:
+    """Round-2 plumbing: the sharded step runs the single-chip optimizations
+    (slot bucketing, lag caps, fast mode, LTS funnel) — VERDICT item 1."""
+
+    def test_band_sharded_uses_slot_buckets(self, long_stream):
+        pipe, segs = _build(long_stream, alpha=1.0, nt=2, nb=4)
+        assert pipe._mode == "bucket"
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        for k in ("vel", "baz", "mdccm", "sig_tau"):
+            np.testing.assert_allclose(
+                sharded[k], seq[k], rtol=1e-5, atol=1e-5, err_msg=k
+            )
+
+    def test_band_sharded_unequal_slots(self, long_stream):
+        # nb=2 -> B_loc=2 slots per shard with different window lengths:
+        # exercises the cross-shard template-shape max
+        pipe, segs = _build(long_stream, alpha=1.0, nt=2, nb=2)
+        assert pipe._mode == "bucket"
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-5, atol=1e-5
+        )
+
+    def test_time_only_mesh_reuses_base_core(self, long_stream):
+        pipe, segs = _build(long_stream, alpha=1.0, nt=8, nb=1)
+        assert pipe._mode == "core"
+        assert pipe.base.bucket_bands  # the single-chip fast path is active
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-5, atol=1e-5
+        )
+
+    def test_cold_segment_matches_single_chip_pipeline(self, long_stream):
+        """Segment 0 (zero halo = cold start) must match NarrowBandPipeline
+        on the same raw segment within cross-kernel tolerance."""
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+        pipe, segs = _build(long_stream, alpha=1.0, nt=2, nb=4)
+        out = pipe.run(segs)
+        base = NarrowBandPipeline(
+            pipe.plan, pipe.base.rij, filter_type="cheby1", alpha=1.0
+        )
+        ref = {k: np.asarray(v) for k, v in base.run_raw(segs[0]).items()}
+        good = ref["mdccm"] > 0.5
+        np.testing.assert_allclose(
+            out["vel"][0][good], ref["vel"][good], rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            out["baz"][0][good], ref["baz"][good], rtol=1e-3, atol=1e-2
+        )
+
+    def test_max_lag_and_fast_mode(self, long_stream):
+        # aperture 2.04 km / 0.32 km/s -> max physical delay 6.4 s; the cap
+        # must sit above it (production setting: aperture / min velocity)
+        pipe, segs = _build(
+            long_stream, alpha=1.0, nt=2, nb=4, max_lag_s=8.0, fast_mode=True,
+        )
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-5, atol=1e-5
+        )
+        # physical sanity on the high-coherence windows
+        good = sharded["mdccm"] > 0.6
+        baz = sharded["baz"][good]
+        d = np.abs((baz - 310.0 + 180.0) % 360.0 - 180.0)
+        assert np.median(d) < 5.0
+
+    def test_lts_funnel_band_sharded(self, long_stream):
+        pipe, segs = _build(
+            long_stream, alpha=0.75, nt=2, nb=4, lts_funnel_k=8,
+        )
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-4, atol=1e-4
+        )
+        assert (sharded["flags"] == seq["flags"]).mean() > 0.999
+
+    def test_unbucketed_global_mode(self, long_stream):
+        pipe, segs = _build(
+            long_stream, alpha=1.0, nt=2, nb=4, bucket_bands=False,
+        )
+        assert pipe._mode == "global"
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-5, atol=1e-5
+        )
