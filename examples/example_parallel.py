@@ -40,6 +40,13 @@ HOURS = 2.0             # total stream duration to process
 
 
 def main():
+    if os.environ.get("NBLS_DISTRIBUTED") == "auto":
+        # pod-slice launch (scripts/launch_pod_slice.sh): discover the
+        # cluster from TPU metadata before any device use
+        from narrow_band_least_squares_tpu.parallel import (
+            initialize_distributed,
+        )
+        initialize_distributed(auto=True)
     devices = jax.devices()
     nt, nb = auto_mesh_shape(len(devices), nbands=NBANDS)
     mesh = make_mesh(nt, nb, devices)

@@ -65,6 +65,7 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> None:
     """Multi-host bring-up (``jax.distributed.initialize``).
 
@@ -72,7 +73,18 @@ def initialize_distributed(
     device computation; afterwards ``jax.devices()`` spans the slice and
     `make_mesh` lays the time axis across hosts (outer dimension) so halo
     exchange rides DCN while band sharding stays on-host over ICI.
+
+    ``auto=True`` lets JAX discover coordinator/process ids from the TPU
+    pod metadata (the standard path on Cloud TPU slices; see
+    scripts/launch_pod_slice.sh).  Explicit args are for CPU/GPU clusters
+    and the 2-process CPU smoke test (benchmarks/multihost_smoke.py).
+
+    Exercised end-to-end by tests/test_multihost.py: two local processes,
+    4 CPU devices, halo ppermute crossing the process boundary.
     """
+    if auto:
+        jax.distributed.initialize()
+        return
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(

@@ -57,6 +57,22 @@ from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
 logger = logging.getLogger("nbls_tpu")
 
 
+def _to_host(v) -> np.ndarray:
+    """Global device array -> full host numpy, multi-controller safe.
+
+    Single-process: plain `np.asarray`.  Multi-process (jax.distributed):
+    the output is sharded across processes, so the non-addressable shards
+    are all-gathered first — this is the final assembly step of the whole
+    computation (the reference's joblib gather loop,
+    ``narrow_band_least_squares.py:291-319``).
+    """
+    if getattr(v, "is_fully_addressable", True):
+        return np.asarray(v)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+
+
 class ShardedNarrowBandPipeline:
     """Multi-device (and multi-host) narrow-band processing.
 
@@ -483,7 +499,7 @@ class ShardedNarrowBandPipeline:
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         out = self._step_ext(x, self._consts)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: _to_host(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
     def segment_stream(self, data: np.ndarray) -> np.ndarray:
@@ -513,7 +529,7 @@ class ShardedNarrowBandPipeline:
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         out = self._step(x, self._consts)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: _to_host(v) for k, v in out.items()}
 
     def run_reference_sequential(self, segments: np.ndarray) -> Dict[str, np.ndarray]:
         """Unsharded oracle for the sharded path: same halo chaining, one device.
