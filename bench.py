@@ -42,17 +42,84 @@ def build_canonical():
 
 
 def bench_cpu_reference(st, freqlist, winlens, nbands):
+    """Times three CPU baselines, strongest last (VERDICT r1: no strawman):
+
+    - 'time': O(L^2) np.correlate per pair (the bitwise golden oracle)
+    - 'fft': FFT cross-correlation, what the real lts_array uses
+    - 'fft_parallel': FFT + one process per band (the reference's
+      joblib n_jobs=-1 path, narrow_band_least_squares.py:285)
+    """
+    import multiprocessing
+
     from narrow_band_least_squares_tpu.oracle.pipeline import (
         narrow_band_least_squares_oracle,
     )
 
     fr = np.logspace(-2, np.log10(st.fs / 2), 100)
-    t0 = time.perf_counter()
-    out = narrow_band_least_squares_oracle(
+    args = (
         winlens, 0.5, 1.0, st, st.latitudes, st.longitudes,
         nbands, freqlist, "log", fr, "cheby1", 2, 0.01,
     )
-    return time.perf_counter() - t0, out
+    t0 = time.perf_counter()
+    out = narrow_band_least_squares_oracle(*args)
+    t_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    narrow_band_least_squares_oracle(*args, xcorr_method="fft")
+    t_fft = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    narrow_band_least_squares_oracle(*args, xcorr_method="fft", n_jobs=-1)
+    t_par = time.perf_counter() - t0
+    times = {
+        "cpu_reference_s": t_time,
+        "cpu_reference_fft_s": t_fft,
+        "cpu_reference_fft_parallel_s": t_par,
+        "cpu_cores": multiprocessing.cpu_count(),
+    }
+    return times, out
+
+
+_PEAK_BF16_FLOPS = {
+    # marketing peaks per chip, bf16 matmul
+    "v6e": 918e12, "v6 lite": 918e12,
+    "v5p": 459e12,
+    "v5e": 197e12, "v5 lite": 197e12,
+    "v4": 275e12,
+}
+
+
+def cost_and_mfu(pipe, x, t_step):
+    """FLOPs/bytes of the compiled step (XLA cost model) + % of chip peak.
+
+    BASELINE's "batched solve step at speed-of-light per chip" measurement
+    point: report the absolute FLOP rate and its fraction of the bf16 MXU
+    peak so a reader can tell roofline-near from 5x-off (VERDICT r1 item 4).
+    """
+    import jax
+
+    out = {}
+    try:
+        compiled = jax.jit(pipe._make_step()).lower(x).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        out["flops_per_step"] = flops
+        out["bytes_accessed_per_step"] = float(ca.get("bytes accessed", 0.0))
+        out["achieved_tflops_per_s"] = flops / t_step / 1e12
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next(
+            (v for k, v in _PEAK_BF16_FLOPS.items() if k in kind), None
+        )
+        if peak:
+            out["peak_bf16_tflops"] = peak / 1e12
+            out["mfu_pct"] = 100.0 * flops / t_step / peak
+            hbm_gbps = 819e9  # v5e HBM bandwidth; roofline context
+            out["hbm_bound_pct"] = (
+                100.0 * out["bytes_accessed_per_step"] / t_step / hbm_gbps
+            )
+    except Exception as e:  # cost model is best-effort, never fail the bench
+        out["cost_analysis_error"] = str(e)
+    return out
 
 
 def bench_chained(pipe, x, n_chain=10, repeats=5):
@@ -97,9 +164,19 @@ def main():
                "solves_per_run": n_solves}
 
     print("bench: cpu reference ...", file=sys.stderr, flush=True)
-    t_cpu, cpu_out = bench_cpu_reference(st, freqlist, winlens, nbands)
-    details["cpu_reference_s"] = t_cpu
-    print(f"bench: cpu reference {t_cpu:.1f}s", file=sys.stderr, flush=True)
+    cpu_times, cpu_out = bench_cpu_reference(st, freqlist, winlens, nbands)
+    details.update(cpu_times)
+    t_cpu = cpu_times["cpu_reference_s"]
+    t_cpu_best = min(
+        cpu_times["cpu_reference_fft_s"],
+        cpu_times["cpu_reference_fft_parallel_s"],
+    )
+    print(
+        f"bench: cpu reference {t_cpu:.1f}s (fft "
+        f"{cpu_times['cpu_reference_fft_s']:.1f}s, fft+mp "
+        f"{cpu_times['cpu_reference_fft_parallel_s']:.1f}s)",
+        file=sys.stderr, flush=True,
+    )
 
     pipe = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=1.0)
     print("bench: compiling/timing OLS step ...", file=sys.stderr, flush=True)
@@ -107,6 +184,7 @@ def main():
     print(f"bench: ols {t_ols*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_ols_s"] = t_ols
     details["ols_solves_per_s_per_chip"] = n_solves / t_ols
+    details["ols_cost"] = cost_and_mfu(pipe, x, t_ols)
 
     # numerical sanity vs oracle on confident windows
     y = pipe.run_raw(st.data)
@@ -121,6 +199,7 @@ def main():
     print(f"bench: lts {t_lts*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_lts_s"] = t_lts
     details["lts_solves_per_s_per_chip"] = n_solves / t_lts
+    details["lts_cost"] = cost_and_mfu(pipe_lts, x, t_lts)
 
     # dense band sweep (50 log bands) on one chip
     from narrow_band_least_squares_tpu.utils.plan import (
@@ -135,16 +214,22 @@ def main():
     print(f"bench: dense50 {t50*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_dense50_s"] = t50
     details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
+    details["dense50_cost"] = cost_and_mfu(pipe50, x, t50)
 
     speedup = t_cpu / t_ols
+    honest = t_cpu_best / t_ols
     details["e2e_speedup_vs_cpu"] = speedup
+    details["e2e_speedup_vs_strongest_cpu"] = honest
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps({
-        "metric": "example.py e2e speedup vs CPU reference (single chip)",
-        "value": round(speedup, 2),
+        "metric": (
+            "example.py e2e speedup vs strongest CPU baseline "
+            "(FFT xcorr, all cores; single chip)"
+        ),
+        "value": round(honest, 2),
         "unit": "x",
-        "vs_baseline": round(speedup, 2),
+        "vs_baseline": round(honest, 2),
     }))
 
 

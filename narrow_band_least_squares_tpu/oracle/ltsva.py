@@ -114,13 +114,35 @@ def filter_and_taper(
 # Per-window delay estimation + inversion
 # --------------------------------------------------------------------------
 
-def _xcorr_delays(win: np.ndarray, pairs: np.ndarray, fs: float):
+def _xcorr_delays(win: np.ndarray, pairs: np.ndarray, fs: float,
+                  method: str = "time"):
     """Integer-lag delays and normalized cc maxima for one window.
 
     win: (C, L) demeaned window.  Returns (tau (P,), rho (P,)).
+
+    ``method='time'`` is the O(L^2) ``np.correlate`` loop (bitwise-stable
+    golden).  ``method='fft'`` is the honest fast-CPU baseline: one rFFT per
+    channel, vectorized cross-spectra over all pairs, one batched irFFT —
+    the same algorithm the real ``lts_array`` uses (SURVEY §3.4 "FFT-based").
+    Peaks agree with 'time' up to FFT roundoff on near-ties.
     """
     C, L = win.shape
     energies = np.sum(win**2, axis=1)
+    if method == "fft":
+        nfft = 1 << int(np.ceil(np.log2(2 * L)))
+        Wf = np.fft.rfft(win, n=nfft, axis=-1)                 # (C, F)
+        cs = Wf[pairs[:, 1]] * np.conj(Wf[pairs[:, 0]])        # (P, F)
+        cc = np.fft.irfft(cs, n=nfft, axis=-1)                 # circular
+        # circular -> linear 'full' ordering [-(L-1) .. L-1]
+        cc_lin = np.concatenate(
+            [cc[:, nfft - (L - 1):], cc[:, :L]], axis=-1
+        )
+        k = np.argmax(cc_lin, axis=-1)
+        peak = cc_lin[np.arange(len(pairs)), k]
+        tau = (k - (L - 1)) / fs
+        denom = np.sqrt(energies[pairs[:, 0]] * energies[pairs[:, 1]])
+        rho = np.where(denom > 0, peak / np.where(denom > 0, denom, 1.0), 0.0)
+        return tau, rho
     tau = np.zeros(len(pairs))
     rho = np.zeros(len(pairs))
     for p, (i, j) in enumerate(pairs):
@@ -241,6 +263,7 @@ def sliding_window_solve(
     winlen_s: float,
     winover: float,
     alpha: float,
+    xcorr_method: str = "time",
 ) -> Dict[str, object]:
     """Slide windows over pre-filtered traces and solve each one.
 
@@ -268,7 +291,7 @@ def sliding_window_solve(
     for w, s0 in enumerate(plan.starts):
         win = filtered[:, s0:s0 + plan.winlensamp]
         win = win - win.mean(axis=1, keepdims=True)
-        tau, rho = _xcorr_delays(win, pairs, fs)
+        tau, rho = _xcorr_delays(win, pairs, fs, method=xcorr_method)
         mdccm[w] = np.median(rho)
         if alpha == 1.0:
             s, r, st, cov = _ols_solve(X, tau)

@@ -26,6 +26,27 @@ from narrow_band_least_squares_tpu.utils.plan import (
 )
 
 
+def _band_worker(args):
+    """One band's filter -> freqz -> sliding solve (picklable for the
+    process pool — the analog of reference ``narrow_band_loop``,
+    ``narrow_band_least_squares.py:134``)."""
+    (ii, data, Fs, start_epoch, rij, freqlist, FREQ_BAND_TYPE,
+     FILTER_TYPE, FILTER_ORDER, FILTER_RIPPLE, WINLEN, WINOVER, ALPHA,
+     freq_resp_list, xcorr_method) = args
+    tempfmin, tempfmax = band_edges(freqlist, ii, FREQ_BAND_TYPE)
+    filtered, sos = filter_and_taper(
+        data, Fs, FILTER_TYPE, tempfmin, tempfmax,
+        FILTER_ORDER, FILTER_RIPPLE,
+    )
+    w, h = signal.sosfreqz(sos, freq_resp_list, fs=Fs)
+    res = sliding_window_solve(
+        filtered, rij, Fs, start_epoch, WINLEN, WINOVER, ALPHA,
+        xcorr_method=xcorr_method,
+    )
+    bt = WINLEN * (tempfmax - tempfmin)
+    return ii, res, w, h, (tempfmin, tempfmax, bt)
+
+
 def narrow_band_least_squares_oracle(
     WINLEN_list: Sequence[float],
     WINOVER: float,
@@ -41,12 +62,21 @@ def narrow_band_least_squares_oracle(
     FILTER_ORDER: int,
     FILTER_RIPPLE: float,
     verbose: bool = False,
+    xcorr_method: str = "time",
+    n_jobs: int = 1,
 ):
     """Sequential narrow-band processing, reference tuple contract.
 
     Returns ``(vel_array, baz_array, mdccm_array, t_array, stdict_all,
     sig_tau_array, num_compute_list, w_array, h_array)`` like reference
     ``narrow_band_least_squares.py:127``.
+
+    ``xcorr_method='fft'`` switches the per-pair correlation to the honest
+    FFT implementation (what the real ``lts_array`` uses); ``n_jobs > 1``
+    (or -1 for all cores) fans bands out over a process pool, mirroring the
+    reference's ``joblib.Parallel(n_jobs=-1)`` path
+    (``narrow_band_least_squares.py:285``).  Both exist so the benchmark
+    baseline is the *strongest* defensible CPU reference, not a strawman.
     """
     npts = st.npts
     Fs = st.fs
@@ -69,27 +99,31 @@ def narrow_band_least_squares_oracle(
     w_array = np.zeros((NBANDS, nresp), dtype=complex)
     h_array = np.zeros((NBANDS, nresp), dtype=complex)
 
-    for ii in range(NBANDS):
-        tempfmin, tempfmax = band_edges(freqlist, ii, FREQ_BAND_TYPE)
-        filtered, sos = filter_and_taper(
-            st.data, Fs, FILTER_TYPE, tempfmin, tempfmax,
-            FILTER_ORDER, FILTER_RIPPLE,
-        )
-        w, h = signal.sosfreqz(sos, freq_resp_list, fs=Fs)
+    worker_args = [
+        (ii, st.data, Fs, st.start_epoch, rij, list(freqlist),
+         FREQ_BAND_TYPE, FILTER_TYPE, FILTER_ORDER, FILTER_RIPPLE,
+         WINLEN_list[ii], WINOVER, ALPHA, np.asarray(freq_resp_list),
+         xcorr_method)
+        for ii in range(NBANDS)
+    ]
+    if n_jobs == 1:
+        band_results = [_band_worker(a) for a in worker_args]
+    else:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        jobs = multiprocessing.cpu_count() if n_jobs in (-1, 0) else n_jobs
+        with ProcessPoolExecutor(max_workers=min(jobs, NBANDS)) as pool:
+            band_results = list(pool.map(_band_worker, worker_args))
+
+    for ii, res, w, h, (tempfmin, tempfmax, temp_BT) in band_results:
         w_array[ii, :] = w
         h_array[ii, :] = h
-
-        temp_BT = WINLEN_list[ii] * (tempfmax - tempfmin)
         if temp_BT < 5.0 and verbose:
             print(
                 f"CAUTION: BT < 5! Band between {tempfmin} Hz and {tempfmax} "
                 f"Hz has BT = {temp_BT}"
             )
-
-        res = sliding_window_solve(
-            filtered, rij, Fs, st.start_epoch,
-            WINLEN_list[ii], WINOVER, ALPHA,
-        )
         n = len(res["vel"])
         width = max(width, n)
         vel_rows.append(res["vel"])
