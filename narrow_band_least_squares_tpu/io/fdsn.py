@@ -11,15 +11,16 @@ returned miniSEED with the native C++ codec (``native/ingest.cpp``):
   returns concatenated miniSEED records -> `read_mseed_records`.
 - **station**:  ``query?...&level=channel&format=text`` returns a
   pipe-separated table with per-channel latitude/longitude and the overall
-  instrument sensitivity (Scale / ScaleFreq / ScaleUnits columns).
+  instrument sensitivity (Scale / ScaleFreq / ScaleUnits columns);
+  ``level=response`` returns the full StationXML response document.
 
-Response handling: ObsPy performs full frequency-domain deconvolution of
-the instrument transfer function; without the response stages the best
-stdlib-only equivalent is division by the overall **sensitivity** (counts
-per physical unit), which is exact wherever the response is flat — the
-usual case for infrasound sensors inside the processing band.  This
-documented deviation applies only when ObsPy is unavailable;
-``io.stream.gather_waveforms`` prefers ObsPy when importable.
+Response handling: ``remove_response=True`` performs the same frequency-
+domain deconvolution ObsPy does — the full multi-stage transfer function
+(poles/zeros + FIR) parsed from the ``level=response`` StationXML,
+water-level stabilized (io.response) — and falls back to dividing by the
+overall **sensitivity** (exact wherever the response is flat) only when the
+response document cannot be fetched or parsed.
+``io.stream.gather_waveforms`` still prefers ObsPy when importable.
 """
 
 from __future__ import annotations
@@ -88,6 +89,18 @@ def station_url(source: str, network: str, station: str, location: str,
     return f"{_base_url(source)}/fdsnws/station/1/query?{q}"
 
 
+def station_response_url(source: str, network: str, station: str,
+                         location: str, channel: str, starttime,
+                         endtime) -> str:
+    """The fdsnws-station query URL for full responses (StationXML)."""
+    q = urllib.parse.urlencode({
+        "net": network, "sta": station, "loc": location or "--",
+        "cha": channel, "start": _iso(starttime), "end": _iso(endtime),
+        "level": "response", "nodata": "404",
+    })
+    return f"{_base_url(source)}/fdsnws/station/1/query?{q}"
+
+
 def _http_get(url: str, timeout: float = 60.0) -> bytes:
     req = urllib.request.Request(
         url, headers={"User-Agent": "narrow_band_least_squares_tpu/fdsn"}
@@ -152,14 +165,19 @@ def gather_waveforms_fdsn(
     endtime,
     remove_response: bool = True,
     timeout: float = 60.0,
+    water_level_db: float = 60.0,
     _fetch=_http_get,
 ):
     """ObsPy-free ``gather_waveforms``: stdlib HTTP + native miniSEED codec.
 
     Returns an ``ArrayStream`` with per-element coordinates from the station
-    service.  ``remove_response=True`` divides each channel by its overall
-    sensitivity (see module docstring for the deviation from ObsPy's full
-    deconvolution).  ``_fetch`` is injectable for offline tests.
+    service.  ``remove_response=True`` performs full frequency-domain
+    deconvolution of the instrument transfer function (poles/zeros + FIR
+    stages from the fdsnws-station ``level=response`` StationXML, water
+    level ``water_level_db`` — ObsPy ``remove_response`` semantics, see
+    io.response); when the response document is unavailable it falls back
+    to overall-sensitivity division.  ``_fetch`` is injectable for offline
+    tests.
     """
     from narrow_band_least_squares_tpu.io.ingest import (
         mseed_to_stream, read_mseed_records,
@@ -183,9 +201,29 @@ def gather_waveforms_fdsn(
     i1 = min(st.npts, int(round((t1 - st.start_epoch) * st.fs)))
     st = st.slice_samples(i0, i1)
     if remove_response:
+        from narrow_band_least_squares_tpu.io.response import (
+            parse_stationxml, remove_response as _deconvolve,
+        )
+
+        responses = {}
+        try:
+            xml = _fetch(
+                station_response_url(source, network, station, location,
+                                     channel, starttime, endtime),
+                timeout,
+            ).decode()
+            responses = parse_stationxml(xml)
+        except Exception:
+            responses = {}
         sens = {c.sid: c.sensitivity for c in chans}
         for i, sid in enumerate(st.ids):
-            s = sens.get(sid, 0.0)
-            if s > 0:
-                st.data[i] /= s
+            resp = responses.get(sid)
+            if resp is not None and resp.stages:
+                st.data[i] = _deconvolve(
+                    st.data[i], st.fs, resp, water_level_db=water_level_db,
+                )
+            else:
+                s = sens.get(sid, 0.0)
+                if s > 0:
+                    st.data[i] /= s
     return st
