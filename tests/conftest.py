@@ -29,6 +29,13 @@ import pytest
 from narrow_band_least_squares_tpu.io.synthetic import synthetic_plane_wave
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--write-golden", action="store_true", default=False,
+        help="rewrite tests/data/golden.json from the current outputs",
+    )
+
+
 @pytest.fixture(scope="session")
 def small_stream():
     """4-element array, 4 minutes @ 10 Hz — quick CPU-oracle-sized workload."""
