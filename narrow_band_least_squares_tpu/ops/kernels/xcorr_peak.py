@@ -64,6 +64,24 @@ def _peak_kernel(cs_ref, e_ref, lo_ref, hi_ref, peak_ref, idx_ref,
         idx_ref[:] = bidx_ref[:]
 
 
+def _pick_tiles(K2: int, R: int, nlag: int) -> Tuple[int, int]:
+    """Row/lag tile sizes that keep HBM traffic minimal.
+
+    The cs2 block index is (i, 0) — constant across the inner lag sweep —
+    so cs2 streams from HBM exactly once; e2 streams once per ROW tile.
+    Total traffic = |cs2| + |e2| * ceil(R / tile_rows): maximize tile_rows
+    under the VMEM budget (double-buffered blocks), keep tile_lags at the
+    128-lane minimum.  (Round-1 default was tile_rows=128, which re-streamed
+    the ~23 MB canonical e2 137x = 3.3 GB; this cuts it ~4x.)
+    """
+    tile_lags = 128
+    budget = 13 * 1024 * 1024  # leave headroom of VMEM's 16 MiB
+    # bytes ~= 4*K2*2*(tile_rows + tile_lags)
+    tr = budget // (8 * K2) - tile_lags
+    tile_rows = max(128, min(1024, (tr // 128) * 128))
+    return tile_rows, tile_lags
+
+
 @functools.partial(
     jax.jit, static_argnames=("nlag", "tile_rows", "tile_lags", "interpret")
 )
@@ -73,8 +91,8 @@ def icorr_peak(
     lo: jnp.ndarray,         # (R, 1) int32 first valid lag index per row
     hi: jnp.ndarray,         # (R, 1) int32 last valid lag index per row
     nlag: int,
-    tile_rows: int = 128,
-    tile_lags: int = 256,
+    tile_rows: int | None = None,
+    tile_lags: int | None = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ``argmax_l (cs2 @ e2)[:, lo:hi]``.  Returns (peak (R,), idx (R,)).
@@ -83,6 +101,11 @@ def icorr_peak(
     arbitrarily; rows are masked by [lo, hi] bounds only.
     """
     R, K2 = cs2.shape
+    auto_tr, auto_tl = _pick_tiles(K2, R, nlag)
+    if tile_rows is None:
+        tile_rows = auto_tr
+    if tile_lags is None:
+        tile_lags = auto_tl
     Rp = _round_up(R, tile_rows)
     Lp = _round_up(e2.shape[1], tile_lags)
     cs2 = jnp.pad(cs2, ((0, Rp - R), (0, 0)))
