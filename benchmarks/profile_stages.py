@@ -72,4 +72,14 @@ def full(xx):
     return pipe._make_step()(xx)
 res["full"] = timeit(full, x, reduce=lambda o: jnp.sum(o["vel"]))
 print("full", res["full"]*1e3, flush=True)
-print(json.dumps({k: v*1e3 for k, v in res.items()}))
+out = {k: v * 1e3 for k, v in res.items()}
+out["_note"] = (
+    "ms per step, canonical OLS, chained x20; stage sums exceed 'full' "
+    "because XLA fuses across stage boundaries in the full step. "
+    "'extract' is the gather path; the default strided extraction only "
+    "exists fused inside extract_xcorr."
+)
+out["_device"] = str(jax.devices()[0])
+with open("PROFILE_STAGES.json", "w") as f:
+    json.dump(out, f, indent=2)
+print(json.dumps(out))

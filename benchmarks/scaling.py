@@ -40,7 +40,10 @@ SEGS_PER_SHARD = 2
 BANDS_PER_SHARD = 8
 
 
-def _timed(fn, reps=5):
+def _timed(fn, reps=3, iters=10):
+    """Per-step time with dispatch latency amortized: enqueue ``iters``
+    async dispatches, block once (never benchmark single dispatches — the
+    tunnel adds ~20 ms per round trip)."""
     import jax
 
     out = fn()
@@ -48,9 +51,10 @@ def _timed(fn, reps=5):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
+        for _ in range(iters):
+            out = fn()
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0) / iters)
     return min(ts)
 
 

@@ -108,13 +108,7 @@ class MultiArrayPipeline:
         plan = self.plan
         alpha = self.alpha
 
-        def one_array(x, X, pinv, XtX_inv, *lts_consts):
-            y = F.filter_bank_fft(
-                x, base._h_bank, base._taper, base.nfft_filter, base.zerophase
-            )
-            # the single-chip optimized front half (bucketing, strided
-            # extraction, lag caps, fast mode) — shared with NarrowBandPipeline
-            tau, rho, mdccm = base._delays(y)
+        def solve_one(tau, mdccm, X, pinv, XtX_inv, *lts_consts):
             if alpha == 1.0:
                 out = SOLVE.ols_solve(tau, X, pinv, XtX_inv)
                 retained = None
@@ -136,10 +130,23 @@ class MultiArrayPipeline:
                 res["flags"] = (~retained) & wm[..., None]
             return res
 
-        if alpha == 1.0:
-            step = jax.vmap(one_array, in_axes=(0, 0, 0, 0))
-        else:
-            step = jax.vmap(one_array, in_axes=(0, 0, 0, 0, 0, 0, 0))
+        def step(x_all, X, pinv, XtX_inv, *lts_consts):
+            # per-array filtering (cheap), then the xcorr front half runs
+            # ONCE with the array axis merged into the window axis — one
+            # large MXU batch instead of A vmapped programs (vmap measured
+            # 75k -> 31k windows/s going 2 -> 8 arrays on v5e)
+            y = jax.vmap(
+                lambda x: F.filter_bank_fft(
+                    x, base._h_bank, base._taper, base.nfft_filter,
+                    base.zerophase,
+                )
+            )(x_all)
+            tau, rho, mdccm = base._delays_batched(y)
+            in_axes = (0, 0) + (0,) * (3 + len(lts_consts))
+            return jax.vmap(solve_one, in_axes=in_axes)(
+                tau, mdccm, X, pinv, XtX_inv, *lts_consts
+            )
+
         return step
 
     # ------------------------------------------------------------------

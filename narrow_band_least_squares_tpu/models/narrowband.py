@@ -361,6 +361,99 @@ class NarrowBandPipeline:
             win, self._pairs, self._lag_mask, self.nfft_corr, plan.fs
         )
 
+    def _delays_batched(self, y: jnp.ndarray):
+        """Batched-array delays: (A, B, C, T) -> (tau, rho, mdccm) of shape
+        (A, B, Wmax, P) / (A, B, Wmax).
+
+        Merges the array axis into the *window* axis before the xcorr
+        matmuls — one (B, A*W, ...) program instead of A vmapped programs —
+        so the MXU/HBM see a single large batch.  (vmap over arrays
+        measured 75k -> 31k windows/s going 2 -> 8 arrays on v5e; the merge
+        keeps per-window cost flat.)  Numerically identical to vmapping
+        `_delays`.
+        """
+        A, B = y.shape[0], y.shape[1]
+        plan = self.plan
+        Wmax = plan.max_windows
+
+        def merge(win):
+            # (A, Bg, Wg, C, Lg) -> (Bg, A*Wg, C, Lg)
+            Ag, Bg, Wg, C, Lg = win.shape
+            return jnp.transpose(win, (1, 0, 2, 3, 4)).reshape(
+                Bg, Ag * Wg, C, Lg
+            )
+
+        def split(t, Wg):
+            # (Bg, A*Wg, ...) -> (A, Bg, Wg, ...)
+            Bg = t.shape[0]
+            rest = t.shape[2:]
+            return jnp.transpose(
+                t.reshape(Bg, A, Wg) if not rest
+                else t.reshape((Bg, A, Wg) + rest),
+                (1, 0, 2) + tuple(range(3, t.ndim + 1)),
+            )
+
+        if self.bucket_bands:
+            taus, rhos, mds = [], [], []
+            for bk in self._buckets:
+                if self.window_method == "strided":
+                    win = jax.vmap(
+                        lambda yb: extract_windows_strided_bucket(
+                            yb, plan.windows, bk["grid"], bk["len_mask"],
+                            bk["lengths"],
+                        )
+                    )(y)
+                else:
+                    win = jax.vmap(
+                        lambda yb: extract_windows(
+                            yb[bk["band_idx"]], bk["idx"], bk["len_mask"],
+                            bk["lengths"],
+                        )
+                    )(y)
+                Wg = win.shape[2]
+                tau, rho, md = XC.cross_correlate_mxu(
+                    merge(win), self._pairs, bk["lag_mask"], bk["tables"],
+                    plan.fs, precision=self.matmul_precision,
+                    subsample=self.subsample_delays,
+                    exact_peak=self.fast_mode, lag_half=bk["lag_half"],
+                )
+                tau, rho, md = split(tau, Wg), split(rho, Wg), split(md, Wg)
+                pad = Wmax - Wg
+                if pad:
+                    tau = jnp.pad(tau, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    rho = jnp.pad(rho, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    md = jnp.pad(md, ((0, 0), (0, 0), (0, pad)))
+                taus.append(tau)
+                rhos.append(rho)
+                mds.append(md)
+            inv = self._bucket_inv_perm
+            return (
+                jnp.concatenate(taus, axis=1)[:, inv],
+                jnp.concatenate(rhos, axis=1)[:, inv],
+                jnp.concatenate(mds, axis=1)[:, inv],
+            )
+
+        win = jax.vmap(self._extract)(y)           # (A, B, Wmax, C, Lmax)
+        if self.xcorr_method == "mxu":
+            tau, rho, md = XC.cross_correlate_mxu(
+                merge(win), self._pairs, self._lag_mask, self._dft_tables,
+                plan.fs, precision=self.matmul_precision,
+                subsample=self.subsample_delays,
+                exact_peak=self.fast_mode, lag_half=self._lag_half,
+            )
+        elif self.xcorr_method == "pallas":
+            tau, rho, md = XC.cross_correlate_pallas(
+                merge(win), self._pairs, self._dft_tables, plan.fs,
+                interpret=self._pallas_interpret,
+                precision=self.matmul_precision,
+            )
+        else:
+            tau, rho, md = XC.cross_correlate(
+                merge(win), self._pairs, self._lag_mask, self.nfft_corr,
+                plan.fs,
+            )
+        return split(tau, Wmax), split(rho, Wmax), split(md, Wmax)
+
     def _solve_masked(self, tau, mdccm, win_mask=None):
         """Slowness solve + window-validity masking (closure constants)."""
         if self.alpha == 1.0:
