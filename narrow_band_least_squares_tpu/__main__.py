@@ -213,6 +213,30 @@ def cmd_defaults(args):
     print(json.dumps(NBLSConfig().to_dict(), indent=2))
 
 
+def cmd_fetch(args):
+    """Fetch waveforms (FDSN, response removed) into an ArrayStream .npz.
+
+    The reference's L0 step (``gather_waveforms`` at example.py:91) as a
+    standalone command, so long runs can separate acquisition from compute:
+        ... fetch --config cfg.json --out event.npz
+        ... run --config cfg.json --data event.npz
+    """
+    from narrow_band_least_squares_tpu.config import NBLSConfig
+    from narrow_band_least_squares_tpu.io.stream import gather_waveforms
+
+    cfg = NBLSConfig.from_json(args.config) if args.config else NBLSConfig()
+    st = gather_waveforms(
+        cfg.SOURCE, cfg.NETWORK, cfg.STATION, cfg.LOCATION, cfg.CHANNEL,
+        cfg.START, cfg.END,
+        remove_response=not args.raw,
+        cache=args.out,
+    )
+    print(json.dumps({
+        "out": args.out, "nchans": st.nchans, "npts": st.npts,
+        "fs": st.fs, "ids": list(st.ids),
+    }))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="narrow_band_least_squares_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -239,6 +263,15 @@ def main(argv=None):
 
     p_def = sub.add_parser("defaults", help="print a default config JSON")
     p_def.set_defaults(fn=cmd_defaults)
+
+    p_fetch = sub.add_parser(
+        "fetch", help="fetch waveforms (FDSN, response removed) to .npz"
+    )
+    p_fetch.add_argument("--config", help="NBLSConfig JSON (defaults otherwise)")
+    p_fetch.add_argument("--out", default="event_cache.npz")
+    p_fetch.add_argument("--raw", action="store_true",
+                         help="skip instrument-response removal")
+    p_fetch.set_defaults(fn=cmd_fetch)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -188,7 +188,8 @@ def gather_waveforms(
         from obspy import UTCDateTime  # type: ignore
     except ImportError:
         # ObsPy-free fallback: stdlib FDSN client + native miniSEED codec
-        # (sensitivity-only response correction; see io/fdsn.py docstring)
+        # (full response deconvolution from level=response StationXML;
+        # sensitivity-only division if that document is unavailable)
         from narrow_band_least_squares_tpu.io.fdsn import gather_waveforms_fdsn
 
         out = gather_waveforms_fdsn(
