@@ -156,6 +156,58 @@ def mseed_to_stream(
     )
 
 
+def encode_mseed(
+    sid: str,
+    samples: np.ndarray,
+    fs: float,
+    start_epoch: float,
+) -> bytes:
+    """Encode one channel as Steim1 512-byte big-endian miniSEED records.
+
+    The write-side complement of `read_mseed_records` (native codec), so
+    monitoring deployments can persist raw segments in the interchange
+    format stations emit.  Samples are rounded to int32 counts (raises on
+    overflow — scale physical units to counts first).
+    """
+    lib = _lib()
+    parts = (sid.split(".") + ["", "", "", ""])[:4]
+    net, sta, loc, cha = parts
+    x = np.ascontiguousarray(samples, dtype=np.float64)
+    n = x.size
+    # worst case >= 103 samples per 512-byte record (all 32-bit diffs)
+    max_bytes = (n // 100 + 2) * 512
+    out = np.zeros(max_bytes, dtype=np.uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    got = lib.nbls_mseed_encode(
+        net.encode(), sta.encode(), loc.encode(), cha.encode(),
+        float(start_epoch), float(fs),
+        x.ctypes.data_as(dp), n,
+        out.ctypes.data_as(up), max_bytes,
+    )
+    if got < 0:
+        raise ValueError(f"miniSEED encode failed (native error {got})")
+    return out[:got].tobytes()
+
+
+def write_mseed(path: str, st: ArrayStream, scale: float = 1.0) -> int:
+    """Write an ArrayStream as multiplexed Steim1 miniSEED.  Returns bytes.
+
+    ``scale`` converts physical units to integer counts (e.g. 1e3 for
+    milli-unit resolution).  Round-trips through `read_mseed` /
+    `mseed_to_stream` exactly up to the count quantization.
+    """
+    total = 0
+    with open(path, "wb") as f:
+        for c, sid in enumerate(st.ids):
+            buf = encode_mseed(
+                sid, st.data[c] * scale, st.fs, st.start_epoch
+            )
+            f.write(buf)
+            total += len(buf)
+    return total
+
+
 # ---------------------------------------------------------------------------
 # Ring buffer
 # ---------------------------------------------------------------------------

@@ -61,6 +61,11 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         ]
         lib.nbls_ring_release.restype = None
         lib.nbls_ring_release.argtypes = [ct.c_void_p, ct.c_int64]
+        lib.nbls_mseed_encode.restype = ct.c_int64
+        lib.nbls_mseed_encode.argtypes = [
+            ct.c_char_p, ct.c_char_p, ct.c_char_p, ct.c_char_p,
+            ct.c_double, ct.c_double, dp, ct.c_int64, up, ct.c_int64,
+        ]
     except AttributeError:
         pass
     return lib

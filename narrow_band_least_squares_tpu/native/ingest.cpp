@@ -273,9 +273,185 @@ int64_t decode_data(const RecordInfo& ri, const uint8_t* rec, double* out) {
     }
 }
 
+// ---------------------------------------------------------------------------
+// miniSEED writing (Steim1, 512-byte records, big-endian, blockette 1000)
+// ---------------------------------------------------------------------------
+
+inline void store_u16(uint8_t* p, uint16_t v) {
+    p[0] = (uint8_t)(v >> 8);
+    p[1] = (uint8_t)v;
+}
+inline void store_u32(uint8_t* p, uint32_t v) {
+    p[0] = (uint8_t)(v >> 24);
+    p[1] = (uint8_t)(v >> 16);
+    p[2] = (uint8_t)(v >> 8);
+    p[3] = (uint8_t)v;
+}
+
+// inverse of days_from_civil (Hinnant civil_from_days)
+inline void civil_from_days(int64_t z, int* y, unsigned* m, unsigned* d) {
+    z += 719468;
+    const int64_t era = (z >= 0 ? z : z - 146096) / 146097;
+    const unsigned doe = (unsigned)(z - era * 146097);
+    const unsigned yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365;
+    const int64_t yy = (int64_t)yoe + era * 400;
+    const unsigned doy = doe - (365 * yoe + yoe / 4 - yoe / 100);
+    const unsigned mp = (5 * doy + 2) / 153;
+    *d = doy - (153 * mp + 2) / 5 + 1;
+    *m = mp + (mp < 10 ? 3 : -9);
+    *y = (int)(yy + (*m <= 2));
+}
+
+// fixed-width ASCII copy, space padded
+inline void pad_copy(uint8_t* dst, const char* src, int n) {
+    int i = 0;
+    for (; i < n && src[i]; ++i) dst[i] = (uint8_t)src[i];
+    for (; i < n; ++i) dst[i] = ' ';
+}
+
+void write_header(uint8_t* rec, int seqno, const char* net, const char* sta,
+                  const char* loc, const char* cha, double t0, double fs,
+                  int nsamp, int reclen_log2) {
+    std::memset(rec, 0, 64);
+    char seq[8];
+    std::snprintf(seq, sizeof(seq), "%06d", seqno % 1000000);
+    std::memcpy(rec, seq, 6);
+    rec[6] = 'D';
+    rec[7] = ' ';
+    pad_copy(rec + 8, sta, 5);
+    pad_copy(rec + 13, loc, 2);
+    pad_copy(rec + 15, cha, 3);
+    pad_copy(rec + 18, net, 2);
+    int64_t isec = (int64_t)t0;
+    double frac = t0 - (double)isec;
+    if (frac < 0) { frac += 1.0; isec -= 1; }
+    int64_t days = isec / 86400;
+    int64_t rem = isec - days * 86400;
+    if (rem < 0) { rem += 86400; days -= 1; }
+    int y; unsigned mo, dd;
+    civil_from_days(days, &y, &mo, &dd);
+    // day-of-year
+    int doy = (int)(days - days_from_civil(y, 1, 1)) + 1;
+    store_u16(rec + 20, (uint16_t)y);
+    store_u16(rec + 22, (uint16_t)doy);
+    rec[24] = (uint8_t)(rem / 3600);
+    rec[25] = (uint8_t)((rem % 3600) / 60);
+    rec[26] = (uint8_t)(rem % 60);
+    store_u16(rec + 28, (uint16_t)(frac * 1e4 + 0.5));
+    store_u16(rec + 30, (uint16_t)nsamp);
+    // sample rate as factor*multiplier; integral rates directly, else 1/period
+    if (fs >= 1.0 && fs == (double)(int16_t)fs) {
+        store_u16(rec + 32, (uint16_t)(int16_t)fs);
+        store_u16(rec + 34, 1);
+    } else {
+        // fs < 1: factor = -period (s), multiplier 1
+        store_u16(rec + 32, (uint16_t)(int16_t)(-1.0 / fs));
+        store_u16(rec + 34, 1);
+    }
+    rec[36] = 0x02;  // time correction applied
+    rec[39] = 1;     // one blockette follows
+    store_u16(rec + 44, 64);  // data offset
+    store_u16(rec + 46, 48);  // first blockette offset
+    store_u16(rec + 48, 1000);
+    store_u16(rec + 50, 0);
+    rec[52] = 10;  // Steim1
+    rec[53] = 1;   // big endian
+    rec[54] = (uint8_t)reclen_log2;
+}
+
+// Pack integer diffs into one Steim1 record's data frames.  Consumes as
+// many samples as fit; returns the count packed and fills X0/Xn.
+int steim1_pack_record(const int32_t* x, int64_t n, uint8_t* data,
+                       int nframes) {
+    // nibble word per frame written at the end
+    int np = 0;  // samples packed
+    std::vector<uint32_t> nibs((size_t)nframes, 0u);
+    for (int f = 0; f < nframes; ++f) {
+        uint8_t* fr = data + (int64_t)f * 64;
+        std::memset(fr, 0, 64);
+        for (int w = 1; w < 16; ++w) {
+            if (f == 0 && (w == 1 || w == 2)) continue;  // X0 / Xn
+            if (np >= n) continue;                        // leave c=0
+            // diffs relative to previous sample (d0 vs previous record's
+            // last sample is irrelevant: decoder starts from X0)
+            int32_t d[4];
+            int avail = (int)(n - np < 4 ? n - np : 4);
+            for (int k = 0; k < avail; ++k)
+                d[k] = x[np + k] - (np + k > 0 ? x[np + k - 1] : 0);
+            auto fits8 = [&](int c) {
+                for (int k = 0; k < c; ++k)
+                    if (d[k] < -128 || d[k] > 127) return false;
+                return true;
+            };
+            auto fits16 = [&](int c) {
+                for (int k = 0; k < c; ++k)
+                    if (d[k] < -32768 || d[k] > 32767) return false;
+                return true;
+            };
+            uint8_t* wp = fr + 4 * w;
+            if (avail >= 4 && fits8(4)) {
+                for (int k = 0; k < 4; ++k) wp[k] = (uint8_t)(int8_t)d[k];
+                nibs[(size_t)f] |= 1u << (2 * (15 - w));
+                np += 4;
+            } else if (avail >= 2 && fits16(2)) {
+                store_u16(wp, (uint16_t)(int16_t)d[0]);
+                store_u16(wp + 2, (uint16_t)(int16_t)d[1]);
+                nibs[(size_t)f] |= 2u << (2 * (15 - w));
+                np += 2;
+            } else {
+                store_u32(wp, (uint32_t)d[0]);
+                nibs[(size_t)f] |= 3u << (2 * (15 - w));
+                np += 1;
+            }
+        }
+    }
+    for (int f = 0; f < nframes; ++f)
+        store_u32(data + (int64_t)f * 64, nibs[(size_t)f]);
+    // X0 / Xn integration constants
+    if (np > 0) {
+        store_u32(data + 4, (uint32_t)x[0]);
+        store_u32(data + 8, (uint32_t)x[np - 1]);
+    }
+    return np;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Encode one channel's samples (must be integral; rounded) as Steim1
+// 512-byte big-endian records.  Returns bytes written into `out`, or a
+// negative error code (-40 buffer too small, -41 bad args, -42 value
+// exceeds int32).
+int64_t nbls_mseed_encode(const char* net, const char* sta, const char* loc,
+                          const char* cha, double t0, double fs,
+                          const double* samples, int64_t n, uint8_t* out,
+                          int64_t max_bytes) {
+    if (!net || !sta || !cha || !samples || !out || fs <= 0 || n < 0)
+        return -41;
+    const int reclen = 512;
+    const int nframes = (reclen - 64) / 64;  // 7
+    std::vector<int32_t> xi((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        double v = samples[i] < 0 ? samples[i] - 0.5 : samples[i] + 0.5;
+        if (v < -2147483648.0 || v > 2147483647.0) return -42;
+        xi[(size_t)i] = (int32_t)v;
+    }
+    int64_t done = 0, off = 0;
+    int seq = 1;
+    while (done < n) {
+        if (off + reclen > max_bytes) return -40;
+        uint8_t* rec = out + off;
+        int np = steim1_pack_record(xi.data() + done, n - done, rec + 64,
+                                    nframes);
+        if (np <= 0) return -43;
+        write_header(rec, seq++, net, sta, loc ? loc : "", cha,
+                     t0 + (double)done / fs, fs, np, 9);
+        done += np;
+        off += reclen;
+    }
+    return off;
+}
 
 // Scan a buffer of concatenated records: counts records and total samples.
 // Returns 0, or a negative error code at the first malformed record.

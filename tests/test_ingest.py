@@ -465,3 +465,61 @@ class TestStreamingIngest:
         assert good.any()
         med_baz = np.median(baz[good])
         assert abs(med_baz - 120.0) < 10.0
+
+
+class TestNativeEncoder:
+    """Steim1 write side (nbls_mseed_encode): exact round trips through the
+    native decoder, including every diff width and record boundaries."""
+
+    def test_adversarial_round_trip(self):
+        from narrow_band_least_squares_tpu.io.ingest import (
+            encode_mseed, read_mseed_records,
+        )
+        rng = np.random.default_rng(0)
+        x = np.concatenate([
+            rng.integers(-2**30, 2**30, size=50).astype(float),   # 32-bit diffs
+            np.cumsum(rng.integers(-100, 100, size=500)).astype(float),  # 8-bit
+            np.zeros(37),
+            np.cumsum(rng.integers(-30000, 30000, size=300)).astype(float),  # 16-bit
+        ])
+        buf = encode_mseed("IM.I53H1..BDF", x, 20.0, 1545183900.25)
+        recs = read_mseed_records(buf)
+        y = np.concatenate([r.samples for r in recs])
+        np.testing.assert_array_equal(y, x)
+        assert abs(recs[0].t0 - 1545183900.25) < 1e-4
+        assert recs[0].fs == 20.0
+        assert recs[0].sid == "IM.I53H1..BDF"
+        # record timestamps chain correctly
+        n = 0
+        for r in recs:
+            assert abs(r.t0 - (1545183900.25 + n / 20.0)) < 1e-4
+            n += len(r.samples)
+
+    def test_stream_write_read(self, tmp_path):
+        from narrow_band_least_squares_tpu.io.ingest import (
+            mseed_to_stream, read_mseed, write_mseed,
+        )
+        from narrow_band_least_squares_tpu.io.stream import ArrayStream
+        rng = np.random.default_rng(1)
+        st = ArrayStream(
+            data=np.round(rng.normal(scale=1000, size=(3, 1000))),
+            fs=20.0, start_epoch=1545183900.0,
+            latitudes=[64.1, 64.2, 64.3],
+            longitudes=[-147.1, -147.2, -147.3],
+            ids=["IM.A..BDF", "IM.B..BDF", "IM.C..BDF"],
+        )
+        p = str(tmp_path / "rt.mseed")
+        write_mseed(p, st)
+        st2 = mseed_to_stream(
+            read_mseed(p),
+            {s: (la, lo) for s, la, lo in
+             zip(st.ids, st.latitudes, st.longitudes)},
+        )
+        np.testing.assert_array_equal(st2.data, st.data)
+        assert st2.fs == st.fs
+        assert abs(st2.start_epoch - st.start_epoch) < 1e-4
+
+    def test_overflow_rejected(self):
+        from narrow_band_least_squares_tpu.io.ingest import encode_mseed
+        with pytest.raises(ValueError):
+            encode_mseed("IM.A..BDF", np.array([3e9]), 20.0, 0.0)
