@@ -31,7 +31,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _peak_kernel(cs_ref, e_ref, lo_ref, hi_ref, peak_ref, idx_ref,
-                 best_ref, bidx_ref, *, tile_lags: int):
+                 best_ref, bidx_ref, *, tile_lags: int, precision):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -43,7 +43,7 @@ def _peak_kernel(cs_ref, e_ref, lo_ref, hi_ref, peak_ref, idx_ref,
     cc = jnp.dot(
         cs_ref[:], e_ref[:],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )                                                   # (TR, TL)
     col = j * tile_lags + jax.lax.broadcasted_iota(jnp.int32, cc.shape, 1)
     valid = (col >= lo_ref[:]) & (col <= hi_ref[:])     # (TR,1) broadcast
@@ -75,15 +75,21 @@ def _pick_tiles(K2: int, R: int, nlag: int) -> Tuple[int, int]:
     the ~23 MB canonical e2 137x = 3.3 GB; this cuts it ~4x.)
     """
     tile_lags = 128
-    budget = 13 * 1024 * 1024  # leave headroom of VMEM's 16 MiB
-    # bytes ~= 4*K2*2*(tile_rows + tile_lags)
+    # double-buffered input blocks ~ 8*K2*(tile_rows + tile_lags) bytes,
+    # plus kernel temporaries (cc tile, mask, iota, argmax) of a few
+    # tile_rows x tile_lags buffers — budget well under the 16 MiB scoped
+    # VMEM limit (13 MiB OOM'd by 440 KB on the canonical bucket)
+    budget = 10 * 1024 * 1024
     tr = budget // (8 * K2) - tile_lags
     tile_rows = max(128, min(1024, (tr // 128) * 128))
     return tile_rows, tile_lags
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nlag", "tile_rows", "tile_lags", "interpret")
+    jax.jit,
+    static_argnames=(
+        "nlag", "tile_rows", "tile_lags", "interpret", "precision"
+    ),
 )
 def icorr_peak(
     cs2: jnp.ndarray,        # (R, K2) stacked [Re(CS) | Im(CS)]
@@ -94,11 +100,16 @@ def icorr_peak(
     tile_rows: int | None = None,
     tile_lags: int | None = None,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ``argmax_l (cs2 @ e2)[:, lo:hi]``.  Returns (peak (R,), idx (R,)).
 
     Padding contract: callers pad K2 / lag columns with zeros and rows
     arbitrarily; rows are masked by [lo, hi] bounds only.
+
+    ``precision`` applies to the in-kernel matmul; HIGH (bf16x3) matches
+    the unfused MXU path's default and roughly halves the MXU passes vs
+    HIGHEST.
     """
     R, K2 = cs2.shape
     auto_tr, auto_tl = _pick_tiles(K2, R, nlag)
@@ -115,7 +126,9 @@ def icorr_peak(
 
     grid = (Rp // tile_rows, Lp // tile_lags)
     peak, idx = pl.pallas_call(
-        functools.partial(_peak_kernel, tile_lags=tile_lags),
+        functools.partial(
+            _peak_kernel, tile_lags=tile_lags, precision=precision
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_rows, K2), lambda i, j: (i, 0),

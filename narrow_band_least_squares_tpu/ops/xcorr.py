@@ -390,7 +390,8 @@ def cross_correlate_pallas(
         tables["hi"][:, None, None], (B, W, P)
     ).reshape(R, 1)
     peak, idx = icorr_peak(
-        cs2, tables["e2"], lo, hi, tables["nlag"], interpret=interpret
+        cs2, tables["e2"], lo, hi, tables["nlag"], interpret=interpret,
+        precision=precision,
     )
     peak = peak.reshape(B, W, P)
     idx = idx.reshape(B, W, P)
