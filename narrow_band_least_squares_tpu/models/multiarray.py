@@ -52,11 +52,21 @@ class MultiArrayPipeline:
         dtype=jnp.float32,
         c_steps: int = 4,
         mesh=None,
+        merge_chunk_arrays: int = 2,
         **base_kwargs,
     ):
         """``base_kwargs`` forwards the single-chip performance options
         (xcorr_method, window_method, max_lag_s, bucket_bands, fast_mode,
-        lts_funnel_k, ...) to the underlying `NarrowBandPipeline`."""
+        lts_funnel_k, ...) to the underlying `NarrowBandPipeline`.
+
+        ``merge_chunk_arrays`` caps how many arrays are merged into one
+        xcorr window batch.  One fully-merged (B, A*W, ...) program hits an
+        XLA tiling cliff on v5e above ~4 arrays (delays stage 9.9 ms @ A=4
+        -> 50.7 ms @ A=8, achieved HBM bandwidth 615 -> 260 GB/s, temp
+        memory 3.1x instead of 2x); chunking the merge into slices of <=2
+        arrays inside the same jit restores roofline throughput (50.6 ->
+        14.2 ms @ A=8, see benchmarks/diag_arrays2.py).  0 or None merges
+        everything (the pre-fix behavior)."""
         nchans = {r.shape[1] for r in rij_list}
         if len(nchans) != 1:
             raise ValueError(
@@ -67,6 +77,7 @@ class MultiArrayPipeline:
         self.alpha = float(alpha)
         self.mesh = mesh
         self.dtype = dtype
+        self.merge_chunk_arrays = int(merge_chunk_arrays or self.A)
 
         # base pipeline provides the shared (non-geometry) host constants
         # AND the optimized extract->xcorr front half (base._delays)
@@ -141,7 +152,19 @@ class MultiArrayPipeline:
                     base.zerophase,
                 )
             )(x_all)
-            tau, rho, mdccm = base._delays_batched(y)
+            # chunking slices the array axis, which is the sharded axis in
+            # the mesh case — there each device already holds a small local
+            # block, so the single-device tiling cliff doesn't apply and
+            # slicing would only force cross-shard re-layouts.
+            ca = self.merge_chunk_arrays if self.mesh is None else self.A
+            outs = [
+                base._delays_batched(y[i:i + ca])
+                for i in range(0, self.A, ca)
+            ]
+            tau, rho, mdccm = (
+                outs[0] if len(outs) == 1
+                else tuple(jnp.concatenate(p, axis=0) for p in zip(*outs))
+            )
             in_axes = (0, 0) + (0,) * (3 + len(lts_consts))
             return jax.vmap(solve_one, in_axes=in_axes)(
                 tau, mdccm, X, pinv, XtX_inv, *lts_consts

@@ -75,6 +75,29 @@ def test_mesh_sharded_batch(arrays):
     )
 
 
+def test_merge_chunking_parity(arrays):
+    """Array-chunked delays (default chunk=2, the v5e tiling-cliff fix) is
+    numerically identical to the fully-merged program, including a ragged
+    last chunk (A=3, chunk=2)."""
+    streams, plan, rijs = arrays
+    data = np.stack([s.data for s in streams])
+    full = MultiArrayPipeline(plan, rijs, alpha=1.0, merge_chunk_arrays=0)
+    assert full.merge_chunk_arrays == 4
+    ref = full.run_raw(data)
+    chunked = MultiArrayPipeline(plan, rijs, alpha=1.0)  # default chunk=2
+    out = chunked.run_raw(data)
+    for k in ("vel", "baz", "mdccm"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5
+        )
+    ragged = MultiArrayPipeline(plan, rijs[:3], alpha=1.0)
+    out3 = ragged.run_raw(data[:3])
+    np.testing.assert_allclose(
+        np.asarray(out3["vel"]), np.asarray(ref["vel"][:3]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_mismatched_nchans_rejected(arrays):
     streams, plan, rijs = arrays
     bad = rijs[:2] + [np.zeros((2, 6))]
