@@ -149,6 +149,7 @@ class NarrowBandPipeline:
         bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
         bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
         fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
+        xcorr_chunk_mb: float = 16.0,    # cap the per-chunk cc tensor (0 = off)
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -167,6 +168,19 @@ class NarrowBandPipeline:
         self.lts_candidate_chunk = lts_candidate_chunk
         self.lts_funnel_k = int(lts_funnel_k)
         self.subsample_delays = subsample_delays
+        # XLA's fusion/tiling of the masked-argmax over the (B, W, P, nlag)
+        # correlation tensor falls off a cliff once the tensor passes a few
+        # hundred MB (measured on v5e: dense50 delays ran at 242 GB/s vs
+        # 615 GB/s healthy; same cliff as the multi-array merge, see
+        # models/multiarray.py).  Chunking the band axis so each xcorr
+        # slice's cc tensor stays under `xcorr_chunk_mb` restores roofline
+        # throughput; chunks are unrolled inside one jit, numerics
+        # identical.  0 disables (the pre-fix single-program behavior).
+        # v5e sweep (benchmarks/diag_dense50b.py): dense50 95.2 -> 26.3 ms
+        # and canonical 6.13 -> 5.83 ms at 16 MB; 256 MB is already back on
+        # the cliff.  Chunks are unrolled (not lax.map) so XLA can overlap
+        # them; very dense sweeps (hundreds of bands) pay compile time.
+        self.xcorr_chunk_bytes = int(float(xcorr_chunk_mb) * 1e6)
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -345,11 +359,8 @@ class NarrowBandPipeline:
             return self._xcorr_bucketed(y)
         win = self._extract(y)
         if self.xcorr_method == "mxu":
-            return XC.cross_correlate_mxu(
-                win, self._pairs, self._lag_mask, self._dft_tables,
-                plan.fs, precision=self.matmul_precision,
-                subsample=self.subsample_delays,
-                exact_peak=self.fast_mode, lag_half=self._lag_half,
+            return self._xcorr_mxu_chunked(
+                win, self._lag_mask, self._dft_tables, self._lag_half
             )
         if self.xcorr_method == "pallas":
             return XC.cross_correlate_pallas(
@@ -527,11 +538,8 @@ class NarrowBandPipeline:
                     precision=self.matmul_precision,
                 )
             else:
-                tau, rho, md = XC.cross_correlate_mxu(
-                    win, self._pairs, bk["lag_mask"], bk["tables"], plan.fs,
-                    precision=self.matmul_precision,
-                    subsample=self.subsample_delays,
-                    exact_peak=self.fast_mode, lag_half=bk["lag_half"],
+                tau, rho, md = self._xcorr_mxu_chunked(
+                    win, bk["lag_mask"], bk["tables"], bk["lag_half"]
                 )
             pad = Wmax - tau.shape[1]
             if pad:
@@ -547,6 +555,40 @@ class NarrowBandPipeline:
             jnp.concatenate(rhos, axis=0)[inv],
             jnp.concatenate(mds, axis=0)[inv],
         )
+
+    def _xcorr_mxu_chunked(self, win, lag_mask, tables, lag_half):
+        """MXU xcorr with the band axis chunked to cap the cc tensor size.
+
+        See the `xcorr_chunk_mb` constructor note: one program over a
+        multi-hundred-MB (B, W, P, nlag) tensor tiles badly on v5e; slices
+        of a few bands each (unrolled in the same jit) run at roofline.
+        """
+        plan = self.plan
+        Bg, Wg = win.shape[0], win.shape[1]
+        nlag = lag_mask.shape[-1]
+        per_band = Wg * self._pairs.shape[0] * nlag * 4
+        cb = (
+            max(1, self.xcorr_chunk_bytes // per_band)
+            if self.xcorr_chunk_bytes else Bg
+        )
+        if cb >= Bg:
+            return XC.cross_correlate_mxu(
+                win, self._pairs, lag_mask, tables, plan.fs,
+                precision=self.matmul_precision,
+                subsample=self.subsample_delays,
+                exact_peak=self.fast_mode, lag_half=lag_half,
+            )
+        outs = [
+            XC.cross_correlate_mxu(
+                win[b0:b0 + cb], self._pairs, lag_mask[b0:b0 + cb],
+                tables, plan.fs,
+                precision=self.matmul_precision,
+                subsample=self.subsample_delays,
+                exact_peak=self.fast_mode, lag_half=lag_half[b0:b0 + cb],
+            )
+            for b0 in range(0, Bg, cb)
+        ]
+        return tuple(jnp.concatenate(p, axis=0) for p in zip(*outs))
 
     def _extract(self, y):
         """Window extraction: 'gather' | 'patches' (im2col) | 'strided'."""
