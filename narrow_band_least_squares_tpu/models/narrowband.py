@@ -422,11 +422,8 @@ class NarrowBandPipeline:
                         )
                     )(y)
                 Wg = win.shape[2]
-                tau, rho, md = XC.cross_correlate_mxu(
-                    merge(win), self._pairs, bk["lag_mask"], bk["tables"],
-                    plan.fs, precision=self.matmul_precision,
-                    subsample=self.subsample_delays,
-                    exact_peak=self.fast_mode, lag_half=bk["lag_half"],
+                tau, rho, md = self._xcorr_mxu_chunked(
+                    merge(win), bk["lag_mask"], bk["tables"], bk["lag_half"]
                 )
                 tau, rho, md = split(tau, Wg), split(rho, Wg), split(md, Wg)
                 pad = Wmax - Wg
@@ -446,11 +443,8 @@ class NarrowBandPipeline:
 
         win = jax.vmap(self._extract)(y)           # (A, B, Wmax, C, Lmax)
         if self.xcorr_method == "mxu":
-            tau, rho, md = XC.cross_correlate_mxu(
-                merge(win), self._pairs, self._lag_mask, self._dft_tables,
-                plan.fs, precision=self.matmul_precision,
-                subsample=self.subsample_delays,
-                exact_peak=self.fast_mode, lag_half=self._lag_half,
+            tau, rho, md = self._xcorr_mxu_chunked(
+                merge(win), self._lag_mask, self._dft_tables, self._lag_half
             )
         elif self.xcorr_method == "pallas":
             tau, rho, md = XC.cross_correlate_pallas(
