@@ -65,9 +65,21 @@ def precompute_candidates(
 
 
 def _rank_along_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Stable rank of each element along the last axis (0 = smallest)."""
-    order = jnp.argsort(x, axis=-1, stable=True)
-    return jnp.argsort(order, axis=-1, stable=True)
+    """Stable rank of each element along the last axis (0 = smallest).
+
+    Computed as pairwise comparison counts — O(P^2) elementwise ops that
+    fuse into one VPU reduction — instead of two stable argsorts: XLA sort
+    on TPU is far slower than elementwise work at the row lengths here
+    (P = n(n-1)/2 delay equations, tens to low hundreds).  NaNs rank last
+    (treated as +inf); exact ties break by index, matching a stable sort.
+    """
+    x = jnp.where(jnp.isnan(x), jnp.inf, x)
+    xi = x[..., :, None]
+    xj = x[..., None, :]
+    idx = jnp.arange(x.shape[-1])
+    tie = idx[None, :] < idx[:, None]
+    cnt = (xj < xi) | ((xj == xi) & tie)
+    return jnp.sum(cnt, axis=-1)
 
 
 def _residuals2(tau: jnp.ndarray, X: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -80,11 +92,10 @@ def _c_steps(tau, X, s, h, n_steps):
 
     def c_step(_, s):
         r2 = _residuals2(tau, X, s)                   # (..., Q, P)
-        # threshold-select the ~h smallest (one sort, not two argsorts; an
-        # exact tie may admit h+1 equations into an *intermediate* refit,
-        # which is harmless — the final subset below uses exact stable ranks)
-        kth = jnp.sort(r2, axis=-1)[..., h - 1 : h]
-        weight = (r2 <= kth).astype(tau.dtype)
+        # exact stable-rank h-selection via comparison counts (no sort —
+        # see _rank_along_last); also removes the tie ambiguity the old
+        # sort-threshold select had (ties could admit h+1 equations)
+        weight = (_rank_along_last(r2) < h).astype(tau.dtype)
         return masked_refit(tau[..., None, :], X, weight)
 
     return jax.lax.fori_loop(0, n_steps, c_step, s)
