@@ -70,6 +70,7 @@ def cmd_run(args):
 
     cfg = NBLSConfig.from_json(args.config) if args.config else NBLSConfig()
     os.makedirs(args.out, exist_ok=True)
+    api.set_performance_defaults(**cfg.perf_overrides())
     st = _load_stream(args, cfg)
     timers = PhaseTimers()
 
@@ -199,6 +200,7 @@ def cmd_monitor(args):
         plan, rij, args.out, freqlist,
         filter_type=cfg.FILTER_TYPE, filter_order=cfg.FILTER_ORDER,
         filter_ripple=cfg.FILTER_RIPPLE, alpha=cfg.ALPHA,
+        **cfg.perf_overrides(),
     )
     recs = mon.process(st, resume=not args.no_resume)
     print(json.dumps({

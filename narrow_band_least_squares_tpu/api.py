@@ -51,20 +51,48 @@ __all__ = [
     "ltsva",
     "narrow_band_least_squares",
     "narrow_band_least_squares_parallel",
+    "set_performance_defaults",
 ]
 
 
 import functools
 
+# TPU performance overrides applied to every pipeline this parity surface
+# constructs (see set_performance_defaults).
+_PERF_DEFAULTS: dict = {}
+
+
+def set_performance_defaults(**kwargs) -> dict:
+    """Set TPU tuning knobs for every pipeline the parity API constructs.
+
+    The reference call signatures (`narrow_band_least_squares`, `ltsva`)
+    carry no performance options, so this module-level override is the
+    drop-in-compatible way to tune them: ``xcorr_method``,
+    ``window_method``, ``max_lag_s``, ``matmul_precision``, ``fast_mode``,
+    ``lts_funnel_k``, ``lts_candidate_chunk``, ``xcorr_chunk_mb``,
+    ``subsample_delays``, ``bucket_bands``, ``c_steps`` — anything
+    `models.NarrowBandPipeline` accepts.  Passing ``None`` for a key
+    removes it.  Returns the previous overrides (so callers can restore).
+    """
+    prev = dict(_PERF_DEFAULTS)
+    for k, v in kwargs.items():
+        if v is None:
+            _PERF_DEFAULTS.pop(k, None)
+        else:
+            _PERF_DEFAULTS[k] = v
+    _cached_pipeline.cache_clear()
+    return prev
+
 
 @functools.lru_cache(maxsize=32)
 def _cached_pipeline(plan, rij_key, filter_type, filter_order, filter_ripple,
-                     alpha, apply_filter):
+                     alpha, apply_filter, perf_key):
     rij = np.asarray(rij_key, dtype=np.float64)
     return NarrowBandPipeline(
         plan, rij,
         filter_type=filter_type, filter_order=filter_order,
         filter_ripple=filter_ripple, alpha=alpha, apply_filter=apply_filter,
+        **dict(perf_key),
     )
 
 
@@ -72,9 +100,10 @@ def _get_pipeline(plan, rij, filter_type="cheby1", filter_order=2,
                   filter_ripple=0.01, alpha=1.0, apply_filter=True):
     """Memoize pipelines (and their jit caches) across repeated API calls."""
     rij_key = tuple(tuple(float(v) for v in row) for row in rij)
+    perf_key = tuple(sorted(_PERF_DEFAULTS.items()))
     return _cached_pipeline(
         plan, rij_key, filter_type, filter_order, filter_ripple,
-        float(alpha), bool(apply_filter),
+        float(alpha), bool(apply_filter), perf_key,
     )
 
 

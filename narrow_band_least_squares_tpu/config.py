@@ -75,6 +75,16 @@ class NBLSConfig:
     lts_c_steps: int = 4            # concentration steps per elemental candidate
     mesh_shape: Tuple[int, int] = (1, 1)   # (time_shards, band_shards)
 
+    # --- TPU performance tuning (the CLI applies these to every pipeline
+    #     via api.set_performance_defaults; see models.NarrowBandPipeline)
+    xcorr_method: str = "mxu"       # 'mxu' | 'fft' | 'pallas'
+    window_method: str = "strided"  # 'strided' | 'gather' | 'patches'
+    max_lag_s: Optional[float] = None   # physical lag cap [s] (None = full)
+    matmul_precision: str = "high"  # 'highest' | 'high' (bf16x3) | 'default'
+    fast_mode: bool = False         # bf16 peak search + exact re-evaluation
+    lts_funnel_k: int = 0           # FAST-LTS funnel (0 = exact all-candidate)
+    xcorr_chunk_mb: float = 16.0    # per-chunk cc-tensor budget (0 = off)
+
     def __post_init__(self):
         if self.FREQ_BAND_TYPE not in FREQ_BAND_TYPES:
             raise ValueError(
@@ -102,6 +112,27 @@ class NBLSConfig:
             raise ValueError(
                 f"Need 0 < FMIN < FMAX, got FMIN={self.FMIN} FMAX={self.FMAX}"
             )
+
+    def perf_overrides(self) -> dict:
+        """Pipeline kwargs for `api.set_performance_defaults` (only values
+        that differ from the pipeline defaults, so configs written by older
+        versions behave identically)."""
+        out = {}
+        for key, default in (
+            ("xcorr_method", "mxu"),
+            ("window_method", "strided"),
+            ("max_lag_s", None),
+            ("matmul_precision", "high"),
+            ("fast_mode", False),
+            ("lts_funnel_k", 0),
+            ("xcorr_chunk_mb", 16.0),
+        ):
+            v = getattr(self, key)
+            if v != default:
+                out[key] = v
+        if self.lts_c_steps != 4:
+            out["c_steps"] = self.lts_c_steps
+        return out
 
     # ------------------------------------------------------------------ I/O
     def replace(self, **kw) -> "NBLSConfig":

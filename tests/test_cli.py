@@ -99,3 +99,33 @@ def test_monitor_mseed_input(small_stream, cfg_json, tmp_path, capsys):
           "--segment-s", "150", "--out", out])
     rep = json.loads(capsys.readouterr().out)
     assert rep["segments_processed"] >= 1
+
+def test_perf_overrides_roundtrip(tmp_path):
+    """Perf knobs survive JSON round-trip and only non-defaults override."""
+    cfg = NBLSConfig(max_lag_s=5.0, lts_funnel_k=8, lts_c_steps=6)
+    p = str(tmp_path / "perf.json")
+    cfg.to_json(p)
+    back = NBLSConfig.from_json(p)
+    assert back.perf_overrides() == {
+        "max_lag_s": 5.0, "lts_funnel_k": 8, "c_steps": 6,
+    }
+    assert NBLSConfig().perf_overrides() == {}
+
+
+def test_run_with_perf_config(stream_npz, tmp_path, capsys):
+    """CLI applies config perf knobs via api.set_performance_defaults."""
+    from narrow_band_least_squares_tpu import api
+
+    cfgp = str(tmp_path / "cfg.json")
+    NBLSConfig(
+        FMIN=0.3, FMAX=2.0, NBANDS=3, WINLEN=40, WINLEN_1=50, WINLEN_X=30,
+        max_lag_s=8.0, xcorr_chunk_mb=4.0,
+    ).to_json(cfgp)
+    out = str(tmp_path / "out")
+    try:
+        main(["run", "--data", stream_npz, "--out", out, "--no-figures",
+              "--config", cfgp])
+        s = json.loads(capsys.readouterr().out)
+        assert s["median_baz_deg"] == pytest.approx(230.0, abs=8.0)
+    finally:
+        api.set_performance_defaults(max_lag_s=None, xcorr_chunk_mb=None)
