@@ -327,12 +327,8 @@ class ShardedNarrowBandPipeline:
                     win = extract_windows(
                         yg, bk_c["idx"], bk_c["len_mask"], bk_c["lengths"]
                     )
-                    tau, rho, md = XC.cross_correlate_mxu(
-                        win, base._pairs, bk_c["lag_mask"], tables[g],
-                        plan.fs, precision=base.matmul_precision,
-                        subsample=base.subsample_delays,
-                        exact_peak=base.fast_mode,
-                        lag_half=bk_c["lag_half"],
+                    tau, rho, md = base._xcorr_mxu_chunked(
+                        win, bk_c["lag_mask"], tables[g], bk_c["lag_half"]
                     )
                     pad = Wmax - tau.shape[1]
                     if pad:
@@ -349,11 +345,9 @@ class ShardedNarrowBandPipeline:
                 y, consts["idx"], consts["len_mask"], consts["lengths"]
             )
             if base.xcorr_method == "mxu":
-                tau, rho, mdccm = XC.cross_correlate_mxu(
-                    win, base._pairs, consts["lag_mask"], base._dft_tables,
-                    plan.fs, precision=base.matmul_precision,
-                    subsample=base.subsample_delays,
-                    exact_peak=base.fast_mode, lag_half=consts["lag_half"],
+                tau, rho, mdccm = base._xcorr_mxu_chunked(
+                    win, consts["lag_mask"], base._dft_tables,
+                    consts["lag_half"],
                 )
             else:
                 tau, rho, mdccm = XC.cross_correlate(
