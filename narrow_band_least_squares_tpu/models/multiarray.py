@@ -157,11 +157,16 @@ class MultiArrayPipeline:
             # block, so the single-device tiling cliff doesn't apply and
             # slicing would only force cross-shard re-layouts.
             ca = self.merge_chunk_arrays if self.mesh is None else self.A
+            # stage-boundary optimization barriers, mirroring
+            # NarrowBandPipeline._core: keep filter / delays / solve in
+            # separate fusion islands so numerics match the single-array
+            # program bitwise (merged==individual parity)
+            y = jax.lax.optimization_barrier(y)
             outs = [
                 base._delays_batched(y[i:i + ca])
                 for i in range(0, self.A, ca)
             ]
-            tau, rho, mdccm = (
+            tau, rho, mdccm = jax.lax.optimization_barrier(
                 outs[0] if len(outs) == 1
                 else tuple(jnp.concatenate(p, axis=0) for p in zip(*outs))
             )

@@ -483,8 +483,19 @@ class NarrowBandPipeline:
         return res
 
     def _core(self, y: jnp.ndarray, win_mask=None) -> Dict[str, jnp.ndarray]:
-        """Everything after filtering: extract -> xcorr -> solve -> mask."""
-        tau, rho, mdccm = self._delays(y)
+        """Everything after filtering: extract -> xcorr -> solve -> mask.
+
+        Stage boundaries are optimization barriers: each stage then compiles
+        as its own fusion island, so its numerics do not depend on the
+        surrounding program shape (single-array vs merged multi-array vs
+        sharded).  Without the barriers, XLA reassociates the reductions
+        differently per program and last-ulp wiggles flip near-tied
+        argmax/funnel selections (the round-2 merged-vs-individual parity
+        break).  The stages are matmul/FFT-dominated, so the lost
+        cross-stage elementwise fusion is noise.
+        """
+        y = jax.lax.optimization_barrier(y)
+        tau, rho, mdccm = jax.lax.optimization_barrier(self._delays(y))
         return self._solve_masked(tau, mdccm, win_mask)
 
     def _make_step(self):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from narrow_band_least_squares_tpu.ops.solve import (
     masked_refit,
+    tree_sum_last,
     vel_baz_from_slowness,
 )
 
@@ -102,11 +103,15 @@ def _c_steps(tau, X, s, h, n_steps):
 
 
 def _trimmed_objective(tau, X, s, h):
-    """Sum of the h smallest squared residuals of each candidate fit."""
+    """Sum of the h smallest squared residuals of each candidate fit.
+
+    Fixed-tree reduction: the objective feeds funnel/argmin selection and
+    must be bitwise identical across program shapes (see tree_sum_last).
+    """
     r2 = _residuals2(tau, X, s)
     rank = _rank_along_last(r2)
     sel = (rank < h).astype(tau.dtype)
-    obj = jnp.sum(sel * r2, axis=-1)                  # (..., Q)
+    obj = tree_sum_last(sel * r2)                     # (..., Q)
     return jnp.where(jnp.isnan(obj), jnp.inf, obj)
 
 
@@ -161,6 +166,16 @@ def lts_solve(
     P = tau.shape[-1]
     Q = cand.shape[0]
     dof = max(h - SIGMA_TAU_DOF_SHIFT, 1)
+
+    # Isolate the sweep from the surrounding program's fusion context.
+    # tau is integer-derived (argmax lag / fs), hence bitwise-identical
+    # across program shapes (single-array, merged multi-array, sharded);
+    # without the barrier XLA fuses/reassociates the residual reductions
+    # differently per program, and a last-ulp objective wiggle at the
+    # funnel (or argmin) boundary selects a different candidate — the
+    # merged-vs-individual parity break of round 2
+    # (tests/test_multiarray.py::test_optimized_options_match_individual).
+    tau, X, Ainv = jax.lax.optimization_barrier((tau, X, Ainv))
 
     if candidate_chunk and candidate_chunk < Q:
         nchunk = -(-Q // candidate_chunk)

@@ -83,6 +83,27 @@ def uncertainties(
     )
 
 
+def tree_sum_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the last axis as a fixed halving tree of binary adds.
+
+    Bitwise deterministic across program shapes and fusion contexts, unlike
+    ``jnp.sum``/``dot``, whose reduction order XLA may reassociate per
+    program.  Used for every reduction whose result feeds an order
+    comparison (LTS rank selection, funnel/argmin objectives) so candidate
+    choices are identical in every compiled variant of the pipeline
+    (single-array, merged multi-array, sharded).  Cost: ceil(log2 P)
+    elementwise adds; zero-padding to a power of two is exact.
+    """
+    n = x.shape[-1]
+    p = 1 << max(n - 1, 0).bit_length()
+    if p != n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p - n)])
+    while p > 1:
+        p //= 2
+        x = x[..., :p] + x[..., p:2 * p]
+    return x[..., 0]
+
+
 def masked_refit(
     tau: jnp.ndarray,        # (..., P)
     X: jnp.ndarray,          # (P, 2)
@@ -92,14 +113,16 @@ def masked_refit(
     """Weighted 2x2 normal-equation solve; the LTS C-step refit primitive.
 
     Returns s (..., 2).  Degenerate subsets (singular normal matrix) return
-    zeros — callers mask them out via the objective.
+    zeros — callers mask them out via the objective.  Reductions are fixed
+    binary trees (`tree_sum_last`): the refit feeds the LTS rank
+    comparisons, which must resolve identically in every program shape.
     """
     Xw = weight[..., None] * X                          # (..., P, 2)
-    m00 = jnp.sum(Xw[..., 0] * X[..., 0], axis=-1)
-    m01 = jnp.sum(Xw[..., 0] * X[..., 1], axis=-1)
-    m11 = jnp.sum(Xw[..., 1] * X[..., 1], axis=-1)
-    b0 = jnp.sum(weight * tau * X[..., 0], axis=-1)
-    b1 = jnp.sum(weight * tau * X[..., 1], axis=-1)
+    m00 = tree_sum_last(Xw[..., 0] * X[..., 0])
+    m01 = tree_sum_last(Xw[..., 0] * X[..., 1])
+    m11 = tree_sum_last(Xw[..., 1] * X[..., 1])
+    b0 = tree_sum_last(weight * tau * X[..., 0])
+    b1 = tree_sum_last(weight * tau * X[..., 1])
     det = m00 * m11 - m01 * m01
     ok = jnp.abs(det) > eps
     safe = jnp.where(ok, det, 1.0)

@@ -125,57 +125,91 @@ def exact_peak_refine_freq(
     ReCS: jnp.ndarray,       # (B, W, P, K) accurate cross-spectra (real)
     ImCS: jnp.ndarray,       # (B, W, P, K)
     tables: Dict[str, jnp.ndarray],
-    k_idx: jnp.ndarray,      # (B, W, P) argmax index into the lag axis
+    k_idx: jnp.ndarray,      # (B, W, P) or (B, W, P, ncand) candidate lags
     lag_min: int,
     lag_half: jnp.ndarray,   # (B,) max |lag| per band
     refine: int = 1,
     subsample: bool = False,
+    cand_valid: jnp.ndarray | None = None,  # (B, W, P, ncand) bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TPU-friendly exact peak re-evaluation in the frequency domain.
 
-    Evaluates cc(l) = Re(CS) . Ec[:, l] - Im(CS) . Es[:, l] in float32 at the
-    candidate lag and its ``refine`` neighbors by ROW-gathering the inverse
-    DFT tables (an embedding-style lookup — contiguous (K,) rows — which the
-    TPU handles well, unlike per-element gathers along the minor axis).
-    Re-argmaxes locally and returns (peak value, lag [samples, float]).
-    The result is f32-exact given f32-accurate cross-spectra, so the big
-    inverse matmul can run in pure bf16.
+    Evaluates cc(l) = Re(CS) . Ec[:, l] - Im(CS) . Es[:, l] in float32 at
+    each candidate lag and its ``refine`` neighbors by ROW-gathering the
+    inverse DFT tables (an embedding-style lookup — contiguous (K,) rows —
+    which the TPU handles well, unlike per-element gathers along the minor
+    axis).  Re-argmaxes locally and returns (peak value, lag [samples,
+    float]).  The result is f32-exact given f32-accurate cross-spectra, so
+    the big inverse matmul can run in pure bf16.
+
+    Multiple candidates (``k_idx`` with a trailing ncand axis, typically the
+    top-2 peaks of the cheap search) make the selection robust to near-tied
+    correlation peaks a cycle apart: the cheap search may rank two near-equal
+    peaks either way depending on program shape/fusion, but as long as BOTH
+    land in the candidate set, the exact re-evaluation picks the same winner
+    in every program.  Exact value ties break toward the smaller lag (the
+    reference's ascending-lag first-max convention, oracle._xcorr_delays).
     """
     EcT = tables["Ec"].T                           # (nlag, K)
     EsT = tables["Es"].T
     nlag = EcT.shape[0]
+    if k_idx.ndim == ReCS.ndim - 1:
+        k_idx = k_idx[..., None]
+    ncand = k_idx.shape[-1]
     half = lag_half[:, None, None]
     k_lo = (-half) - lag_min
     k_hi = half - lag_min
-    base = jnp.clip(k_idx, k_lo, k_hi)
-    vals = []
-    ks = []
-    for off in range(-refine, refine + 1):
-        k = jnp.clip(base + off, jnp.maximum(k_lo, 0),
-                     jnp.minimum(k_hi, nlag - 1))
-        ec = jnp.take(EcT, k, axis=0)              # (B, W, P, K)
-        es = jnp.take(EsT, k, axis=0)
-        vals.append(jnp.sum(ReCS * ec - ImCS * es, axis=-1))
-        ks.append(k)
-    stacked = jnp.stack(vals, axis=0)              # (2r+1, B, W, P)
-    k_stack = jnp.stack(ks, axis=0)
-    kbest = jnp.argmax(stacked, axis=0)
-    peak = jnp.max(stacked, axis=0)
-    k_sel = jnp.take_along_axis(k_stack, kbest[None], axis=0)[0]
-    frac = 0.0
-    if subsample:
-        n = stacked.shape[0]
-        km = jnp.clip(kbest - 1, 0, n - 1)
-        kp = jnp.clip(kbest + 1, 0, n - 1)
-        cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
-        cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
-        denom = cm - 2.0 * peak + cp
-        frac = jnp.where(
-            (jnp.abs(denom) > 1e-20) & (kbest > 0) & (kbest < n - 1),
-            0.5 * (cm - cp) / denom,
-            0.0,
+    best = None
+    for c in range(ncand):
+        base = jnp.clip(k_idx[..., c], k_lo, k_hi)
+        vals = []
+        ks = []
+        for off in range(-refine, refine + 1):
+            k = jnp.clip(base + off, jnp.maximum(k_lo, 0),
+                         jnp.minimum(k_hi, nlag - 1))
+            ec = jnp.take(EcT, k, axis=0)          # (B, W, P, K)
+            es = jnp.take(EsT, k, axis=0)
+            vals.append(jnp.sum(ReCS * ec - ImCS * es, axis=-1))
+            ks.append(k)
+        stacked = jnp.stack(vals, axis=0)          # (2r+1, B, W, P)
+        k_stack = jnp.stack(ks, axis=0)
+        # within-group argmax with smaller-lag tie-break: clipping can
+        # duplicate lags at the band edge, and near-ties must resolve
+        # identically regardless of candidate order
+        gmax = jnp.max(stacked, axis=0)
+        kwin = jnp.min(jnp.where(stacked == gmax, k_stack, nlag), axis=0)
+        sel = jnp.argmax(
+            (k_stack == kwin[None]) & (stacked == gmax[None]), axis=0
         )
-        frac = jnp.clip(frac, -0.5, 0.5)
+        peak = gmax
+        k_sel = kwin
+        frac = jnp.zeros_like(peak)
+        if subsample:
+            n = stacked.shape[0]
+            km = jnp.clip(sel - 1, 0, n - 1)
+            kp = jnp.clip(sel + 1, 0, n - 1)
+            cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
+            cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
+            denom = cm - 2.0 * peak + cp
+            frac = jnp.where(
+                (jnp.abs(denom) > 1e-20) & (sel > 0) & (sel < n - 1),
+                0.5 * (cm - cp) / denom,
+                0.0,
+            )
+            frac = jnp.clip(frac, -0.5, 0.5)
+        if cand_valid is not None:
+            peak = jnp.where(cand_valid[..., c], peak, -jnp.inf)
+        if best is None:
+            best = (peak, k_sel, frac)
+        else:
+            bpeak, bk, bfrac = best
+            take = (peak > bpeak) | ((peak == bpeak) & (k_sel < bk))
+            best = (
+                jnp.where(take, peak, bpeak),
+                jnp.where(take, k_sel, bk),
+                jnp.where(take, frac, bfrac),
+            )
+    peak, k_sel, frac = best
     lag = k_sel.astype(ReCS.dtype) + lag_min + frac
     return peak, lag
 
@@ -287,9 +321,24 @@ def cross_correlate_mxu(
     if exact_peak:
         if lag_half is None:
             lag_half = jnp.full((B,), Lmax - 1, jnp.int32)
+        # Top-2 candidates: suppress +-refine around the winner and re-argmax.
+        # The cheap (low-precision / fusion-dependent) search may rank two
+        # near-tied peaks a cycle apart either way; carrying both into the
+        # exact re-evaluation makes the final lag choice program-shape
+        # independent (merged multi-array == single-array parity).
+        nlag_m = cc_masked.shape[-1]
+        ar = jnp.arange(nlag_m, dtype=k_idx.dtype)
+        supp = jnp.abs(ar - k_idx[..., None]) <= refine
+        cc2 = jnp.where(supp, -jnp.inf, cc_masked)
+        k2 = jnp.argmax(cc2, axis=-1)
+        valid2 = jnp.isfinite(jnp.max(cc2, axis=-1))
+        k_cands = jnp.stack([k_idx, k2], axis=-1)
+        cand_valid = jnp.stack(
+            [jnp.ones_like(valid2), valid2], axis=-1
+        )
         peak, lag = exact_peak_refine_freq(
-            ReCS, ImCS, tables, k_idx, lag_min, lag_half,
-            refine=refine, subsample=subsample,
+            ReCS, ImCS, tables, k_cands, lag_min, lag_half,
+            refine=refine, subsample=subsample, cand_valid=cand_valid,
         )
         tau = lag / fs
         Ei = energy[:, :, pairs[:, 0]]

@@ -120,3 +120,57 @@ def test_optimized_options_match_individual(arrays):
             rtol=1e-5, atol=1e-5,
         )
         assert (np.asarray(out["flags"][k]) == np.asarray(ref["flags"])).all()
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(alpha=0.75, max_lag_s=8.0, fast_mode=True),
+        dict(alpha=0.75, max_lag_s=8.0, lts_funnel_k=4),
+        dict(alpha=0.75, lts_funnel_k=4, subsample_delays=True),
+        dict(alpha=1.0, max_lag_s=8.0, fast_mode=True, subsample_delays=True),
+        dict(alpha=0.75, window_method="gather", bucket_bands=False,
+             lts_funnel_k=4, fast_mode=True),
+    ],
+    ids=["fast", "funnel", "funnel-subsamp", "ols-fast-subsamp",
+         "gather-nobucket"],
+)
+def test_perf_option_combos_match_individual(arrays, kw):
+    """Merged multi-array == per-array pipeline under every perf-option
+    combination (the round-2 parity break).
+
+    Exact parity for every combo without the FAST-LTS funnel: the stage
+    barriers (models/narrowband.py::_core), fixed-tree reductions
+    (ops/solve.py::tree_sum_last) and top-2 exact-peak refinement
+    (ops/xcorr.py) make the discrete selections program-shape independent.
+
+    With the funnel on, selection among NEAR-DEGENERATE LTS optima (trimmed
+    objectives within ~15% of each other) can still resolve either way:
+    XLA contracts the 2x2-refit mul-adds into FMAs differently per program
+    shape, and the one-C-step funnel ranking sits on that last-ulp noise.
+    The reference's own FAST-LTS has the same property (its optimum depends
+    on the random subset draw), and the BASELINE contract is "within the
+    reference's LTS optimality tolerance" — so funnel combos assert a
+    documented physical bound instead: vel within 5e-4 km/s, baz within
+    0.1 deg.  Flags are the dropped-pair bookkeeping of whichever
+    near-optimum was selected, so their parity is exactly as strong as that
+    selection: asserted exact for non-funnel combos only (a stationary
+    input repeats one degenerate choice on every window, so no fraction
+    bound is meaningful).
+    """
+    streams, plan, rijs = arrays
+    funnel = bool(kw.get("lts_funnel_k")) and kw.get("alpha", 1.0) < 1.0
+    atol = 5e-4 if funnel else 1e-5
+    batch = MultiArrayPipeline(plan, rijs, **kw)
+    out = batch.run_raw(np.stack([s.data for s in streams]))
+    for k, (s, rij) in enumerate(zip(streams, rijs)):
+        ref = NarrowBandPipeline(plan, rij, **kw).run_raw(s.data)
+        for key, tol in (("vel", atol), ("baz", 0.1 if funnel else 1e-5),
+                         ("mdccm", 1e-5)):
+            np.testing.assert_allclose(
+                np.asarray(out[key][k]), np.asarray(ref[key]),
+                rtol=1e-5, atol=tol, err_msg=f"{key} array {k}",
+            )
+        if "flags" in out and not funnel:
+            fd = np.asarray(out["flags"][k]) != np.asarray(ref["flags"])
+            assert not fd.any(), f"flags array {k}"
