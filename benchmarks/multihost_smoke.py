@@ -31,6 +31,14 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coordinator", default="localhost:9876")
     ap.add_argument("--devices-per-process", type=int, default=2)
+    ap.add_argument("--mesh-time", type=int, default=0,
+                    help="time-shard count (0 = all global devices)")
+    ap.add_argument("--mesh-band", type=int, default=1,
+                    help="band-shard count (>1 exercises the slot-bucket "
+                         "program across the process boundary)")
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="1.0 = OLS; <1 runs the robust LTS solver and "
+                         "asserts flag parity across the cluster")
     args = ap.parse_args()
 
     # Force the CPU backend BEFORE any device use (the axon TPU plugin
@@ -66,34 +74,55 @@ def main() -> int:
     )
     assert len(jax.local_devices()) == args.devices_per_process
 
+    nt = args.mesh_time or (n_global // args.mesh_band)
+    nb = args.mesh_band
+    assert nt * nb == n_global, (nt, nb, n_global)
+
     # identical input on every process (single-controller-style SPMD)
     fs = 10.0
     seg_s = 120.0
     st = synthetic_plane_wave(
-        nchans=4, duration_s=seg_s * n_global, fs=fs, baz_deg=250.0,
+        nchans=4, duration_s=seg_s * max(nt, 2), fs=fs, baz_deg=250.0,
         trace_vel_kms=0.32, f0=0.6, bandwidth=0.8, snr=10.0, seed=77,
+        outlier_channels=(1,) if args.alpha < 1.0 else (),
     )
-    freqlist, nbands, _ = get_freqlist(0.3, 1.5, "log", 2)
+    freqlist, nbands, _ = get_freqlist(0.3, 1.5, "log", 2 * max(nb, 1))
     winlens = get_winlenlist("adaptive", nbands, 20, 25, 15)
     plan = make_plan(freqlist, "log", winlens, 0.5, int(seg_s * fs), fs)
     rij = get_rij(st.latitudes, st.longitudes, st.nchans)
 
-    # time axis spans all devices of both processes -> the halo ppermute
-    # from local device 1 to remote device 2 crosses the process boundary
-    mesh = make_mesh(n_global, 1)
+    # the time axis spans devices of different processes -> the halo
+    # ppermute crosses the process boundary; nb > 1 additionally splits the
+    # band-sharded slot-bucket constants across processes
+    mesh = make_mesh(nt, nb)
     pipe = ShardedNarrowBandPipeline(
-        plan, rij, mesh, filter_type="cheby1", alpha=1.0,
+        plan, rij, mesh, filter_type="cheby1", alpha=args.alpha,
     )
     assert pipe.halo > 0, "causal filter must require a halo"
     segs = pipe.segment_stream(st.data)
     out = pipe.run(segs)
 
     seq = pipe.run_reference_sequential(segs)
-    for k in ("vel", "baz", "mdccm", "sig_tau"):
+    keys = ["vel", "baz", "mdccm", "sig_tau"]
+    for k in keys:
         np.testing.assert_allclose(
             out[k], seq[k], rtol=1e-5, atol=1e-5,
-            err_msg=f"{k}: sharded(2-process) != sequential",
+            err_msg=f"{k}: sharded({args.num_processes}-process) != sequential",
         )
+    if args.alpha < 1.0:
+        assert "flags" in out
+        nmis = int((out["flags"] != seq["flags"]).sum())
+        assert nmis == 0, f"flags: {nmis} mismatches vs sequential"
+        # the injected outlier element (1-based: 2) must dominate the flags
+        pairs = pipe.base.pairs_np
+        per_pair = out["flags"].reshape(-1, pairs.shape[0]).sum(axis=0)
+        el_counts = np.zeros(st.nchans)
+        for p, (i, j) in enumerate(pairs):
+            el_counts[i] += per_pair[p]
+            el_counts[j] += per_pair[p]
+        # a flagged pair increments both endpoints, so the outlier's
+        # most-frequent partner can tie it — assert joint-max membership
+        assert el_counts[1] == el_counts.max(), f"flag counts {el_counts}"
 
     # physical sanity: recovered back-azimuth near the synthetic truth
     good = out["mdccm"] > 0.6
@@ -103,7 +132,8 @@ def main() -> int:
 
     print(
         f"MULTIHOST_SMOKE_OK process={args.process_id}/{args.num_processes} "
-        f"devices={n_global} segments={segs.shape[0]} halo={pipe.halo}",
+        f"devices={n_global} mesh=({nt}x{nb}) alpha={args.alpha} "
+        f"segments={segs.shape[0]} halo={pipe.halo}",
         flush=True,
     )
     return 0

@@ -24,11 +24,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_smoke():
+def _run_cluster(num_processes: int, extra_args=(), devices_per_process=2,
+                 timeout=540):
     port = _free_port()
     env = dict(os.environ)
     # children configure their own backend; scrub the test harness's
-    # virtual-device forcing so each worker gets exactly 2 CPU devices
+    # virtual-device forcing so each worker gets its own CPU devices
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -37,8 +38,10 @@ def test_two_process_distributed_smoke():
             [
                 sys.executable, WORKER,
                 "--process-id", str(pid),
-                "--num-processes", "2",
+                "--num-processes", str(num_processes),
                 "--coordinator", f"localhost:{port}",
+                "--devices-per-process", str(devices_per_process),
+                *extra_args,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -46,12 +49,12 @@ def test_two_process_distributed_smoke():
             env=env,
             cwd=REPO,
         )
-        for pid in (0, 1)
+        for pid in range(num_processes)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -62,4 +65,24 @@ def test_two_process_distributed_smoke():
             f"process {pid} failed (rc={p.returncode}):\n{out}"
         )
         assert "MULTIHOST_SMOKE_OK" in out, f"process {pid} output:\n{out}"
-        assert "devices=4" in out
+    return outs
+
+
+def test_two_process_distributed_smoke():
+    outs = _run_cluster(2)
+    assert all("devices=4" in o for o in outs)
+
+
+def test_four_process_2x2_mesh_lts():
+    """Four jax.distributed processes on a (time=2, band=2) mesh running the
+    robust LTS solver: the halo ppermute AND the band-sharded slot-bucket
+    constants both cross process boundaries, and every output (including
+    the flag tensor) must equal the unsharded sequential run
+    (VERDICT r2 'Next round' #4)."""
+    outs = _run_cluster(
+        4,
+        extra_args=["--mesh-time", "2", "--mesh-band", "2",
+                    "--alpha", "0.75"],
+        devices_per_process=1,
+    )
+    assert all("mesh=(2x2) alpha=0.75" in o for o in outs)
