@@ -75,6 +75,24 @@ class NarrowBandResult:
         )
 
 
+def band_supp_radius(plan: NarrowBandPlan, refine: int = 1) -> np.ndarray:
+    """Per-band rival-lobe suppression radius for fast-mode peak search.
+
+    Half the band's geometric-center period in samples, clipped to the
+    valid lag range — the distance at which a bandpassed correlation's
+    rival lobe lives (cycle-skip guard, ops.xcorr.cross_correlate_mxu).
+    """
+    rad = np.empty(plan.nbands, np.int64)
+    for b in range(plan.nbands):
+        lo, hi = plan.edges(b)
+        fc = float(np.sqrt(float(lo) * float(hi)))
+        # unknown band edges (pre-filtered ltsva contract / broadband):
+        # no period to scale by, keep the plain +-refine neighborhood
+        rad[b] = int(round(0.5 * plan.fs / fc)) if fc > 0 else refine
+    lens = np.array([wp.winlensamp for wp in plan.windows], dtype=np.int64)
+    return np.clip(rad, refine, lens - 1).astype(np.int32)
+
+
 def flags_to_stdict(
     flags: np.ndarray,           # (B, Wmax, P) bool
     t_array: np.ndarray,         # (B, width) datenums
@@ -272,6 +290,12 @@ class NarrowBandPipeline:
         if max_lag is not None:
             half = np.minimum(half, max_lag)
         self._lag_half = jnp.asarray(half, jnp.int32)
+        # fast-mode cycle-skip guard: per-band second-candidate suppression
+        # radius = half the band's center period in samples, so the exact
+        # re-evaluation arbitrates between rival correlation lobes (see
+        # ops.xcorr.cross_correlate_mxu supp_rad)
+        self._supp_rad_np = band_supp_radius(plan)
+        self._supp_rad = jnp.asarray(self._supp_rad_np)
         # bucketing is numerically equivalent to the global grid and ~2x
         # faster (measured on v5e, both 8-band canonical and 50-band dense);
         # it composes with the gather/strided extractors and both the mxu
@@ -325,6 +349,9 @@ class NarrowBandPipeline:
                         "grid": g,
                         "band_idx": g.band_idx,
                         "lag_half": jnp.asarray(bhalf, jnp.int32),
+                        "supp_rad": jnp.asarray(
+                            self._supp_rad_np[g.band_idx]
+                        ),
                         "idx": jnp.asarray(g.idx),
                         "len_mask": jnp.asarray(g.len_mask, dtype),
                         "lengths": jnp.asarray(g.lengths, dtype),
@@ -360,7 +387,8 @@ class NarrowBandPipeline:
         win = self._extract(y)
         if self.xcorr_method == "mxu":
             return self._xcorr_mxu_chunked(
-                win, self._lag_mask, self._dft_tables, self._lag_half
+                win, self._lag_mask, self._dft_tables, self._lag_half,
+                supp_rad=self._supp_rad,
             )
         if self.xcorr_method == "pallas":
             return XC.cross_correlate_pallas(
@@ -423,7 +451,8 @@ class NarrowBandPipeline:
                     )(y)
                 Wg = win.shape[2]
                 tau, rho, md = self._xcorr_mxu_chunked(
-                    merge(win), bk["lag_mask"], bk["tables"], bk["lag_half"]
+                    merge(win), bk["lag_mask"], bk["tables"], bk["lag_half"],
+                    supp_rad=bk["supp_rad"],
                 )
                 tau, rho, md = split(tau, Wg), split(rho, Wg), split(md, Wg)
                 pad = Wmax - Wg
@@ -444,7 +473,8 @@ class NarrowBandPipeline:
         win = jax.vmap(self._extract)(y)           # (A, B, Wmax, C, Lmax)
         if self.xcorr_method == "mxu":
             tau, rho, md = self._xcorr_mxu_chunked(
-                merge(win), self._lag_mask, self._dft_tables, self._lag_half
+                merge(win), self._lag_mask, self._dft_tables, self._lag_half,
+                supp_rad=self._supp_rad,
             )
         elif self.xcorr_method == "pallas":
             tau, rho, md = XC.cross_correlate_pallas(
@@ -544,7 +574,8 @@ class NarrowBandPipeline:
                 )
             else:
                 tau, rho, md = self._xcorr_mxu_chunked(
-                    win, bk["lag_mask"], bk["tables"], bk["lag_half"]
+                    win, bk["lag_mask"], bk["tables"], bk["lag_half"],
+                    supp_rad=bk["supp_rad"],
                 )
             pad = Wmax - tau.shape[1]
             if pad:
@@ -561,7 +592,8 @@ class NarrowBandPipeline:
             jnp.concatenate(mds, axis=0)[inv],
         )
 
-    def _xcorr_mxu_chunked(self, win, lag_mask, tables, lag_half):
+    def _xcorr_mxu_chunked(self, win, lag_mask, tables, lag_half,
+                           supp_rad=None):
         """MXU xcorr with the band axis chunked to cap the cc tensor size.
 
         See the `xcorr_chunk_mb` constructor note: one program over a
@@ -582,6 +614,7 @@ class NarrowBandPipeline:
                 precision=self.matmul_precision,
                 subsample=self.subsample_delays,
                 exact_peak=self.fast_mode, lag_half=lag_half,
+                supp_rad=supp_rad,
             )
         outs = [
             XC.cross_correlate_mxu(
@@ -590,6 +623,9 @@ class NarrowBandPipeline:
                 precision=self.matmul_precision,
                 subsample=self.subsample_delays,
                 exact_peak=self.fast_mode, lag_half=lag_half[b0:b0 + cb],
+                supp_rad=(
+                    None if supp_rad is None else supp_rad[b0:b0 + cb]
+                ),
             )
             for b0 in range(0, Bg, cb)
         ]

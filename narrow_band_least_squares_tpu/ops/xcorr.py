@@ -274,6 +274,7 @@ def cross_correlate_mxu(
     exact_peak: bool = False,
     lag_half: jnp.ndarray | None = None,   # (B,) max |lag|, for exact_peak
     refine: int = 1,
+    supp_rad: jnp.ndarray | None = None,   # (B,) candidate-suppression radius
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MXU cross-correlation; same contract as `cross_correlate`.
 
@@ -286,6 +287,16 @@ def cross_correlate_mxu(
     time domain) at the argmax lag and its ``refine`` neighbors and takes
     rho/tau from that local re-argmax — the fast-mode companion to a
     low-``precision`` (bf16) matmul search (see `exact_peak_refine`).
+
+    ``supp_rad`` sets the per-band suppression radius for the second
+    candidate of the exact re-evaluation.  A bandpassed correlation is
+    oscillatory at the band's center period, and the cycle-skip failure of
+    a cheap peak search is landing on the rival lobe ONE PERIOD away; with
+    the default radius (= ``refine``) the second candidate is merely a
+    neighboring lag of the same lobe and cannot catch that.  Passing
+    ``supp_rad ~ half the band period in samples`` makes the second
+    candidate the strongest *rival lobe*, so the exact f32 re-evaluation
+    chooses between the true contenders (the fast-mode low-BT guard).
     """
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
@@ -328,7 +339,9 @@ def cross_correlate_mxu(
         # independent (merged multi-array == single-array parity).
         nlag_m = cc_masked.shape[-1]
         ar = jnp.arange(nlag_m, dtype=k_idx.dtype)
-        supp = jnp.abs(ar - k_idx[..., None]) <= refine
+        rad = (refine if supp_rad is None
+               else supp_rad[:, None, None, None].astype(k_idx.dtype))
+        supp = jnp.abs(ar - k_idx[..., None]) <= rad
         cc2 = jnp.where(supp, -jnp.inf, cc_masked)
         k2 = jnp.argmax(cc2, axis=-1)
         valid2 = jnp.isfinite(jnp.max(cc2, axis=-1))

@@ -79,7 +79,13 @@ class ShardedNarrowBandPipeline:
     Args:
         plan: per-*segment* plan (npts = segment length in samples).
         rij: (2, N) element coordinates [km].
-        mesh: a Mesh with ("time", "band") axes (parallel.mesh.make_mesh).
+        mesh: a Mesh with ("time", "band") axes (parallel.mesh.make_mesh),
+            or None with ``mesh_shape`` given — a *virtual* mesh: only the
+            single-device oracle path (`run_reference_sequential`) is
+            built, which compiles the exact per-chip program an
+            (nt, nb) mesh would run.  Used to measure band-sharded
+            per-chip cost on hardware with fewer physical devices than
+            the target mesh (benchmarks/sharded_perchip.py).
         halo: left-halo samples for IIR continuity across segment cuts;
             defaults to the filter-bank impulse length (exact warm-up) for
             causal filters and 0 for zero-phase.
@@ -92,7 +98,7 @@ class ShardedNarrowBandPipeline:
         self,
         plan: NarrowBandPlan,
         rij: np.ndarray,
-        mesh: Mesh,
+        mesh: Optional[Mesh],
         filter_type: str = "cheby1",
         filter_order: int = 2,
         filter_ripple: float = 0.01,
@@ -111,10 +117,16 @@ class ShardedNarrowBandPipeline:
         bucket_ratio: float = 1.3,
         fast_mode: bool = False,
         max_lts_candidates: int = 4096,
+        mesh_shape: Optional[Tuple[int, int]] = None,
     ):
         self.mesh = mesh
-        self.nt = mesh.shape[TIME_AXIS]
-        self.nb = mesh.shape[BAND_AXIS]
+        if mesh is None:
+            if mesh_shape is None:
+                raise ValueError("mesh=None requires mesh_shape=(nt, nb)")
+            self.nt, self.nb = int(mesh_shape[0]), int(mesh_shape[1])
+        else:
+            self.nt = mesh.shape[TIME_AXIS]
+            self.nb = mesh.shape[BAND_AXIS]
         if plan.nbands % self.nb != 0:
             raise ValueError(
                 f"{plan.nbands} bands not divisible by band shards {self.nb}"
@@ -183,8 +195,9 @@ class ShardedNarrowBandPipeline:
             self._build_slot_buckets(bucket_ratio, max_lag)
 
         self._consts, self._consts_specs = self._build_consts()
-        self._step = jax.jit(self._build_sharded_step())
-        self._step_ext = jax.jit(self._build_sharded_step_extended())
+        if mesh is not None:
+            self._step = jax.jit(self._build_sharded_step())
+            self._step_ext = jax.jit(self._build_sharded_step_extended())
         self._seg_step_jit = jax.jit(
             jax.vmap(
                 self._build_segment_step(nb_factor=self.nb),
@@ -243,6 +256,8 @@ class ShardedNarrowBandPipeline:
             lengths = np.zeros((nb * Bg,), dtype=np.int32)
             lag_mask = np.zeros((nb * Bg, nlag), dtype=bool)
             lag_half = np.zeros((nb * Bg,), dtype=np.int32)
+            supp_rad = np.zeros((nb * Bg,), dtype=np.int32)
+            supp_np = self.base._supp_rad_np
             for k in range(nb):
                 for gi, s in enumerate(slots_np):
                     b = k * B_loc + int(s)
@@ -253,6 +268,7 @@ class ShardedNarrowBandPipeline:
                     len_mask[r, :Lb] = 1.0
                     lag_mask[r] = np.abs(lags) <= (Lb - 1)
                     lag_half[r] = min(Lb - 1, half)
+                    supp_rad[r] = min(int(supp_np[b]), lag_half[r])
                     for w, s0 in enumerate(wp.starts):
                         idx[r, w, :Lb] = s0 + np.arange(Lb)
                         idx[r, w, Lb:] = s0
@@ -270,6 +286,7 @@ class ShardedNarrowBandPipeline:
                 "lengths": jnp.asarray(lengths, self.dtype),
                 "lag_mask": jnp.asarray(lag_mask),
                 "lag_half": jnp.asarray(lag_half, jnp.int32),
+                "supp_rad": jnp.asarray(supp_rad, jnp.int32),
             })
 
     def _bucket_gathers(self, nb_factor: int) -> Tuple[List[np.ndarray], np.ndarray]:
@@ -328,7 +345,8 @@ class ShardedNarrowBandPipeline:
                         yg, bk_c["idx"], bk_c["len_mask"], bk_c["lengths"]
                     )
                     tau, rho, md = base._xcorr_mxu_chunked(
-                        win, bk_c["lag_mask"], tables[g], bk_c["lag_half"]
+                        win, bk_c["lag_mask"], tables[g], bk_c["lag_half"],
+                        supp_rad=bk_c["supp_rad"],
                     )
                     pad = Wmax - tau.shape[1]
                     if pad:
@@ -347,7 +365,7 @@ class ShardedNarrowBandPipeline:
             if base.xcorr_method == "mxu":
                 tau, rho, mdccm = base._xcorr_mxu_chunked(
                     win, consts["lag_mask"], base._dft_tables,
-                    consts["lag_half"],
+                    consts["lag_half"], supp_rad=consts["supp_rad"],
                 )
             else:
                 tau, rho, mdccm = XC.cross_correlate(
@@ -374,6 +392,7 @@ class ShardedNarrowBandPipeline:
                         "lengths": bk["lengths"],
                         "lag_mask": bk["lag_mask"],
                         "lag_half": bk["lag_half"],
+                        "supp_rad": bk["supp_rad"],
                     }
                     for bk in self._slot_buckets
                 ),
@@ -388,6 +407,7 @@ class ShardedNarrowBandPipeline:
                         "lengths": P(BAND_AXIS),
                         "lag_mask": P(BAND_AXIS, None),
                         "lag_half": P(BAND_AXIS),
+                        "supp_rad": P(BAND_AXIS),
                     }
                     for _ in self._slot_buckets
                 ),
@@ -401,6 +421,7 @@ class ShardedNarrowBandPipeline:
             "lengths": base._lengths,
             "lag_mask": base._lag_mask,
             "lag_half": base._lag_half,
+            "supp_rad": base._supp_rad,
         }
         specs = {
             "h_bank": P(BAND_AXIS, None),
@@ -410,6 +431,7 @@ class ShardedNarrowBandPipeline:
             "lengths": P(BAND_AXIS),
             "lag_mask": P(BAND_AXIS, None),
             "lag_half": P(BAND_AXIS),
+            "supp_rad": P(BAND_AXIS),
         }
         return consts, specs
 
