@@ -225,7 +225,8 @@ def main():
     print(json.dumps({
         "metric": (
             "example.py e2e speedup vs strongest CPU baseline "
-            "(FFT xcorr, all cores; single chip)"
+            f"(FFT xcorr, all {cpu_times['cpu_cores']} host cores; "
+            "single chip; a wider workstation oracle would narrow this)"
         ),
         "value": round(honest, 2),
         "unit": "x",

@@ -168,6 +168,9 @@ class NarrowBandPipeline:
         bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
         fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
         xcorr_chunk_mb: float = 16.0,    # cap the per-chunk cc tensor (0 = off)
+        fast_guard: bool = True,         # period-scaled rival-lobe candidate
+        #   suppression for fast_mode (False = +-refine only; A/B knob for
+        #   benchmarks/fast_mode_envelope.py)
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -295,7 +298,10 @@ class NarrowBandPipeline:
         # re-evaluation arbitrates between rival correlation lobes (see
         # ops.xcorr.cross_correlate_mxu supp_rad)
         self._supp_rad_np = band_supp_radius(plan)
-        self._supp_rad = jnp.asarray(self._supp_rad_np)
+        self.fast_guard = bool(fast_guard)
+        self._supp_rad = (
+            jnp.asarray(self._supp_rad_np) if self.fast_guard else None
+        )
         # bucketing is numerically equivalent to the global grid and ~2x
         # faster (measured on v5e, both 8-band canonical and 50-band dense);
         # it composes with the gather/strided extractors and both the mxu
@@ -349,8 +355,9 @@ class NarrowBandPipeline:
                         "grid": g,
                         "band_idx": g.band_idx,
                         "lag_half": jnp.asarray(bhalf, jnp.int32),
-                        "supp_rad": jnp.asarray(
-                            self._supp_rad_np[g.band_idx]
+                        "supp_rad": (
+                            jnp.asarray(self._supp_rad_np[g.band_idx])
+                            if self.fast_guard else None
                         ),
                         "idx": jnp.asarray(g.idx),
                         "len_mask": jnp.asarray(g.len_mask, dtype),

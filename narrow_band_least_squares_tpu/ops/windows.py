@@ -152,6 +152,17 @@ def build_bucket_grids(
     return grids
 
 
+def mask_demean(
+    win: jnp.ndarray,        # (B, Wmax, C, Lmax) raw windows
+    len_mask: jnp.ndarray,   # (B, 1, 1, Lmax)
+    lengths: jnp.ndarray,    # (B,) float — winlensamp per band
+) -> jnp.ndarray:
+    """Shared tail of every extractor: zero-pad + per-window demean."""
+    win = win * len_mask
+    mean = jnp.sum(win, axis=-1, keepdims=True) / lengths[:, None, None, None]
+    return (win - mean) * len_mask
+
+
 def _strided_band(yb: jnp.ndarray, wp, Wmax: int, Lmax: int) -> jnp.ndarray:
     """One band's windows as interleaved strided reshapes -> (Wmax, C, Lmax).
 

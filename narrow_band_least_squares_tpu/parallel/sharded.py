@@ -25,14 +25,18 @@ Per-chip performance matches the single-chip pipeline:
   base pipeline's full optimized core — strided extraction, per-winlen
   bucketing, lag caps, fast mode, the Pallas kernel — verbatim.
 - band-sharded meshes (``nb > 1``) run a **slot-bucketed** variant: bands
-  are dealt contiguously to shards, and within each shard the *local band
-  slots* are bucketed by window length.  SPMD requires one program for all
-  shards, so each bucket's static shapes are the elementwise max over
-  shards at the same slot (for the adaptive plans this is simply the
-  longest shard's bucket); the per-shard gather indices / masks / lag
-  bounds ride in as band-sharded constants.  Window extraction stays
-  gather-based under band sharding — the strided reshape specialization
-  needs per-band static hops, which differ across shards.
+  are dealt to shards round-robin in descending window-length order
+  ("snake dealing", so shards hold near-equal window lengths at each
+  slot), and the *band slots* are bucketed by window length.  SPMD
+  requires one program for all shards, so each bucket's static shapes are
+  the elementwise max over shards at the same slot — snake dealing keeps
+  that max within ~10% of every shard's true size (contiguous dealing
+  inflated the xcorr matmuls ~1.4x).  Per-shard masks / lag bounds ride
+  in as band-sharded constants.  Window extraction uses the fast strided
+  reshapes via ``lax.switch`` on the shard's band-axis index: one SPMD
+  program containing nb specialized branches, each with its shard's
+  static per-band hops (measured on v5e: the gather fallback alone cost
+  ~2x per chip).  ``window_method='gather'`` keeps the old gather path.
 """
 
 from __future__ import annotations
@@ -50,7 +54,10 @@ from jax import shard_map
 from narrow_band_least_squares_tpu.models.narrowband import NarrowBandPipeline
 from narrow_band_least_squares_tpu.ops import filters as F
 from narrow_band_least_squares_tpu.ops import xcorr as XC
-from narrow_band_least_squares_tpu.ops.windows import extract_windows
+from narrow_band_least_squares_tpu.ops.windows import (
+    extract_windows,
+    mask_demean,
+)
 from narrow_band_least_squares_tpu.parallel.mesh import BAND_AXIS, TIME_AXIS
 from narrow_band_least_squares_tpu.utils.plan import NarrowBandPlan
 
@@ -134,19 +141,20 @@ class ShardedNarrowBandPipeline:
 
         if self.nb > 1:
             # one SPMD program serves every band shard, so per-band static
-            # specializations fall back to shard-uniform equivalents
+            # specializations become per-shard `lax.switch` branches
+            # (strided extraction) or shard-uniform equivalents (gather)
             if xcorr_method == "pallas":
                 logger.warning(
                     "xcorr_method='pallas' is not supported under band "
                     "sharding; falling back to 'mxu'"
                 )
                 xcorr_method = "mxu"
-            if window_method != "gather":
+            if window_method == "patches":
                 logger.info(
-                    "band-sharded pipeline uses gather window extraction "
-                    "(strided reshapes need per-band static hops)"
+                    "band-sharded pipeline supports 'strided' (switch "
+                    "branches) or 'gather' extraction; using 'strided'"
                 )
-                window_method = "gather"
+                window_method = "strided"
         self.bucket_bands = bool(bucket_bands) and xcorr_method in (
             "mxu", "pallas"
         )
@@ -187,6 +195,26 @@ class ShardedNarrowBandPipeline:
             self._mode = "bucket"
         else:
             self._mode = "global"
+        self._shard_extract = window_method
+
+        # band dealing: deal[k, s] = global band of shard k, slot s.
+        # Bucket mode deals round-robin in descending window-length order
+        # ("snake"), so all shards at a slot have near-equal window lengths
+        # and the slot-template (max-over-shards) shapes stay tight.
+        B_loc = plan.nbands // self.nb
+        if self._mode == "bucket":
+            order = np.argsort(
+                [-wp.winlensamp for wp in plan.windows], kind="stable"
+            )
+            self._deal = order.reshape(B_loc, self.nb).T.copy()
+        else:
+            self._deal = np.arange(plan.nbands).reshape(self.nb, B_loc)
+        # device band-axis layout: position k*B_loc+s holds band deal[k,s]
+        self._band_perm = self._deal.reshape(-1)
+        self._band_inv_perm = np.argsort(self._band_perm)
+        self._identity_deal = bool(
+            np.array_equal(self._band_perm, np.arange(plan.nbands))
+        )
 
         if self._mode == "bucket":
             max_lag = None
@@ -207,21 +235,22 @@ class ShardedNarrowBandPipeline:
 
     # ------------------------------------------------------------------
     def _build_slot_buckets(self, ratio: float, max_lag: Optional[int]):
-        """Bucket the per-shard band *slots* by window length.
+        """Bucket the band *slots* by window length.
 
-        Bands are dealt to shards contiguously (shard k owns bands
-        ``[k*B_loc, (k+1)*B_loc)``).  Slot i's template length is the max of
+        Bands are dealt to shards per ``self._deal`` (snake dealing, see
+        constructor).  Slot s's template length is the max of
         ``winlensamp`` across shards at that slot, so one static program
-        covers every shard; the actual per-band indices/masks ride in as
-        band-sharded data with layout ``row = shard*Bg + slot_position``.
+        covers every shard; the actual per-band masks/lag bounds ride in
+        as band-sharded data with layout ``row = shard*Bg + slot_position``.
         """
         plan, nb = self.plan, self.nb
         B = plan.nbands
         B_loc = B // nb
+        deal = self._deal
         lens = np.array([wp.winlensamp for wp in plan.windows])
         nwin = np.array([wp.n_windows for wp in plan.windows])
-        slot_len = lens.reshape(nb, B_loc).max(axis=0)
-        slot_win = nwin.reshape(nb, B_loc).max(axis=0)
+        slot_len = lens[deal].max(axis=0)          # (B_loc,)
+        slot_win = nwin[deal].max(axis=0)
 
         order = np.argsort(-slot_len, kind="stable")
         groups: List[List[int]] = []
@@ -240,6 +269,7 @@ class ShardedNarrowBandPipeline:
             groups.append(cur)
 
         dtype = np.dtype(self.dtype)
+        build_idx = self._shard_extract == "gather"
         self._slot_buckets = []
         self._bucket_tables = []
         for slots in groups:
@@ -251,7 +281,8 @@ class ShardedNarrowBandPipeline:
             lags = np.arange(-half, half + 1)
             Bg = len(slots)
 
-            idx = np.zeros((nb * Bg, Wg, Lg), dtype=np.int32)
+            idx = (np.zeros((nb * Bg, Wg, Lg), dtype=np.int32)
+                   if build_idx else None)
             len_mask = np.zeros((nb * Bg, Lg), dtype=np.float64)
             lengths = np.zeros((nb * Bg,), dtype=np.int32)
             lag_mask = np.zeros((nb * Bg, nlag), dtype=bool)
@@ -260,7 +291,7 @@ class ShardedNarrowBandPipeline:
             supp_np = self.base._supp_rad_np
             for k in range(nb):
                 for gi, s in enumerate(slots_np):
-                    b = k * B_loc + int(s)
+                    b = int(deal[k, int(s)])
                     wp = plan.windows[b]
                     Lb = wp.winlensamp
                     r = k * Bg + gi
@@ -269,17 +300,19 @@ class ShardedNarrowBandPipeline:
                     lag_mask[r] = np.abs(lags) <= (Lb - 1)
                     lag_half[r] = min(Lb - 1, half)
                     supp_rad[r] = min(int(supp_np[b]), lag_half[r])
-                    for w, s0 in enumerate(wp.starts):
-                        idx[r, w, :Lb] = s0 + np.arange(Lb)
-                        idx[r, w, Lb:] = s0
+                    if build_idx:
+                        for w, s0 in enumerate(wp.starts):
+                            idx[r, w, :Lb] = s0 + np.arange(Lb)
+                            idx[r, w, Lb:] = s0
             tab = XC.precompute_dft_tables(Lg, dtype, max_lag=half)
             self._bucket_tables.append({
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in tab.items()
             })
-            self._slot_buckets.append({
+            bk = {
                 "slots": slots_np,
-                "idx": jnp.asarray(idx),
+                "Wg": Wg,
+                "Lg": Lg,
                 "len_mask": jnp.asarray(
                     len_mask.reshape(nb * Bg, 1, 1, Lg), self.dtype
                 ),
@@ -287,10 +320,16 @@ class ShardedNarrowBandPipeline:
                 "lag_mask": jnp.asarray(lag_mask),
                 "lag_half": jnp.asarray(lag_half, jnp.int32),
                 "supp_rad": jnp.asarray(supp_rad, jnp.int32),
-            })
+            }
+            if build_idx:
+                bk["idx"] = jnp.asarray(idx)
+            self._slot_buckets.append(bk)
 
     def _bucket_gathers(self, nb_factor: int) -> Tuple[List[np.ndarray], np.ndarray]:
         """Static band-gather lists + inverse permutation for a given view.
+
+        Rows are positions in the *device* (dealt) band layout, where
+        position ``k*B_loc + s`` holds band ``deal[k, s]``.
 
         ``nb_factor = 1``: the shard-local view (y has B_loc bands).
         ``nb_factor = nb``: the unsharded oracle view (y has all B bands,
@@ -307,6 +346,31 @@ class ShardedNarrowBandPipeline:
         inv = np.argsort(np.concatenate(rows_all), kind="stable")
         return gathers, inv.astype(np.int32)
 
+    def _bucket_branch(self, g: int, k: int):
+        """Strided-extraction branch for shard k, bucket g.
+
+        Returns a function ``y_loc (B_loc, C, T) -> (Bg, Wg, C, Lg)`` raw
+        windows for shard k's bands at this bucket's slots, built with
+        shard k's static per-band (winlen, hop).  Under SPMD the nb
+        branches become one ``lax.switch`` on the band-axis index.
+        """
+        from narrow_band_least_squares_tpu.ops.windows import _strided_band
+
+        bk = self._slot_buckets[g]
+        slots = [int(s) for s in bk["slots"]]
+        Wg, Lg = bk["Wg"], bk["Lg"]
+        bands = [int(self._deal[k, s]) for s in slots]
+        windows = self.plan.windows
+
+        def branch(y_loc):
+            return jnp.stack(
+                [_strided_band(y_loc[s], windows[bands[i]], Wg, Lg)
+                 for i, s in enumerate(slots)],
+                axis=0,
+            )
+
+        return branch
+
     # ------------------------------------------------------------------
     def _build_segment_step(self, nb_factor: int):
         """Per-segment compute on a halo-extended block (pure function).
@@ -322,10 +386,18 @@ class ShardedNarrowBandPipeline:
         nfft_ext = self.nfft_ext
         mode = self._mode
         Wmax = plan.max_windows
+        nb = self.nb
+        B_loc = plan.nbands // nb
+        strided = self._shard_extract == "strided"
 
         if mode == "bucket":
             gathers, inv = self._bucket_gathers(nb_factor)
             tables = self._bucket_tables
+            if strided:
+                branches = [
+                    [self._bucket_branch(g, k) for k in range(nb)]
+                    for g in range(len(self._slot_buckets))
+                ]
 
         def seg_step(x_ext, consts):
             h_bank = consts["h_bank"] if consts else base._h_bank
@@ -340,10 +412,27 @@ class ShardedNarrowBandPipeline:
             if mode == "bucket":
                 taus, mds = [], []
                 for g, bk_c in enumerate(consts["buckets"]):
-                    yg = y[gathers[g]]
-                    win = extract_windows(
-                        yg, bk_c["idx"], bk_c["len_mask"], bk_c["lengths"]
-                    )
+                    if strided and nb_factor == 1:
+                        kidx = jax.lax.axis_index(BAND_AXIS)
+                        raw = jax.lax.switch(kidx, branches[g], y)
+                        win = mask_demean(
+                            raw, bk_c["len_mask"], bk_c["lengths"]
+                        )
+                    elif strided:
+                        raw = jnp.concatenate(
+                            [branches[g][k](y[k * B_loc:(k + 1) * B_loc])
+                             for k in range(nb)],
+                            axis=0,
+                        )
+                        win = mask_demean(
+                            raw, bk_c["len_mask"], bk_c["lengths"]
+                        )
+                    else:
+                        yg = y[gathers[g]]
+                        win = extract_windows(
+                            yg, bk_c["idx"], bk_c["len_mask"],
+                            bk_c["lengths"],
+                        )
                     tau, rho, md = base._xcorr_mxu_chunked(
                         win, bk_c["lag_mask"], tables[g], bk_c["lag_half"],
                         supp_rad=bk_c["supp_rad"],
@@ -382,12 +471,13 @@ class ShardedNarrowBandPipeline:
         if self._mode == "core":
             return {}, {}
         if self._mode == "bucket":
+            perm = self._band_perm
             consts = {
-                "h_bank": base._h_bank,
-                "win_mask": base._win_mask,
+                "h_bank": base._h_bank[perm],
+                "win_mask": base._win_mask[perm],
                 "buckets": tuple(
                     {
-                        "idx": bk["idx"],
+                        **({"idx": bk["idx"]} if "idx" in bk else {}),
                         "len_mask": bk["len_mask"],
                         "lengths": bk["lengths"],
                         "lag_mask": bk["lag_mask"],
@@ -402,14 +492,15 @@ class ShardedNarrowBandPipeline:
                 "win_mask": P(BAND_AXIS, None),
                 "buckets": tuple(
                     {
-                        "idx": P(BAND_AXIS, None, None),
+                        **({"idx": P(BAND_AXIS, None, None)}
+                           if "idx" in bk else {}),
                         "len_mask": P(BAND_AXIS, None, None, None),
                         "lengths": P(BAND_AXIS),
                         "lag_mask": P(BAND_AXIS, None),
                         "lag_half": P(BAND_AXIS),
                         "supp_rad": P(BAND_AXIS),
                     }
-                    for _ in self._slot_buckets
+                    for bk in self._slot_buckets
                 ),
             }
             return consts, specs
@@ -508,6 +599,13 @@ class ShardedNarrowBandPipeline:
             out[i, :, halo:] = data[:, off : off + Tseg]
         return out
 
+    def _unpermute_bands(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Device (dealt) band layout -> the plan's band order (axis 1)."""
+        if self._identity_deal:
+            return out
+        inv = self._band_inv_perm
+        return {k: v[:, inv] for k, v in out.items()}
+
     def run_extended(self, x_ext: np.ndarray) -> Dict[str, np.ndarray]:
         """Execute on host-extended segments (S, C, halo+Tseg); S % nt == 0."""
         x = jax.device_put(
@@ -515,7 +613,7 @@ class ShardedNarrowBandPipeline:
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         out = self._step_ext(x, self._consts)
-        return {k: _to_host(v) for k, v in out.items()}
+        return self._unpermute_bands({k: _to_host(v) for k, v in out.items()})
 
     # ------------------------------------------------------------------
     def segment_stream(self, data: np.ndarray) -> np.ndarray:
@@ -545,7 +643,7 @@ class ShardedNarrowBandPipeline:
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         out = self._step(x, self._consts)
-        return {k: _to_host(v) for k, v in out.items()}
+        return self._unpermute_bands({k: _to_host(v) for k, v in out.items()})
 
     def run_reference_sequential(self, segments: np.ndarray) -> Dict[str, np.ndarray]:
         """Unsharded oracle for the sharded path: same halo chaining, one device.
@@ -562,4 +660,4 @@ class ShardedNarrowBandPipeline:
                 x_ext[s, :, :halo] = segments[s - 1][:, Tseg - halo:]
             x_ext[s, :, halo:] = segments[s]
         out = self._seg_step_jit(jnp.asarray(x_ext, self.dtype), self._consts)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return self._unpermute_bands({k: np.asarray(v) for k, v in out.items()})
