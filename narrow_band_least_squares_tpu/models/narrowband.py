@@ -156,7 +156,9 @@ class NarrowBandPipeline:
         c_steps: int = 4,
         taper_percentage: float = 0.01,
         max_lts_candidates: int = 4096,
-        xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' | 'pallas'
+        xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' |
+        #   'pallas' (fused icorr+argmax) | 'fused' (pallas megakernel:
+        #   extract+spectra+xcorr+argmax all VMEM-resident, SURVEY §7.1)
         window_method: str = "strided",  # 'strided' (reshape-based; v5e: 1.2 ms
         #   vs 5.9 ms gather on the canonical extract) | 'gather' | 'patches'
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
@@ -165,7 +167,8 @@ class NarrowBandPipeline:
         lts_funnel_k: int = 0,           # >0: FAST-LTS funnel (top-K survivors)
         subsample_delays: bool = False,  # parabolic sub-sample lag refinement
         bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
-        bucket_ratio: float = 1.3,       # max Lmax/winlen spread within a bucket
+        bucket_ratio: float = 1.3,       # (legacy knob; grouping is cost-based)
+        bucket_slack: float = 1.08,      # padded/true cost tolerance per bucket
         fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
         xcorr_chunk_mb: float = 16.0,    # cap the per-chunk cc tensor (0 = off)
         fast_guard: bool = True,         # period-scaled rival-lobe candidate
@@ -265,13 +268,14 @@ class NarrowBandPipeline:
         # Throughput mode for strong-SNR production streams; the bf16 search
         # can land a cycle off on very-low-BT bands, hence opt-in.
         self.fast_mode = bool(fast_mode)
-        if xcorr_method == "pallas":
+        if xcorr_method in ("pallas", "fused"):
             if self.fast_mode:
-                # the fused kernel has no exact-peak re-evaluation, so a
+                # the fused kernels have no exact-peak re-evaluation, so a
                 # bf16 search would silently degrade rho/tau accuracy
                 raise ValueError(
-                    "fast_mode requires xcorr_method='mxu' (the pallas "
-                    "kernel has no exact-peak re-evaluation safeguard)"
+                    "fast_mode requires xcorr_method='mxu' (the pallas/"
+                    "fused kernels have no exact-peak re-evaluation "
+                    "safeguard)"
                 )
             if subsample_delays:
                 logger.warning(
@@ -310,10 +314,53 @@ class NarrowBandPipeline:
             bool(bucket_bands)
             and xcorr_method in ("mxu", "pallas")
             and window_method in ("gather", "strided")
-        )
-        if xcorr_method == "pallas":
+        ) or xcorr_method == "fused"   # the megakernel is per-bucket
+        if xcorr_method in ("pallas", "fused"):
             # fall back to the interpreter off-TPU (tests on CPU)
             self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
+        if xcorr_method == "fused":
+            from narrow_band_least_squares_tpu.ops.kernels.fused_xcorr import (
+                precompute_fused_tables,
+            )
+            from narrow_band_least_squares_tpu.ops.windows import (
+                build_bucket_grids,
+            )
+            bgrids = build_bucket_grids(
+                plan, ratio=bucket_ratio, max_lag=max_lag,
+                slack=bucket_slack,
+            )
+            self._fused_buckets = []
+            for g in bgrids:
+                bml = (min(max_lag, g.Lmax - 1)
+                       if max_lag is not None else None)
+                ftab = precompute_fused_tables(
+                    g.Lmax, pairs, self.nchans, dtype=np.dtype(dtype),
+                    max_lag=bml,
+                )
+                half = g.Lmax - 1 if bml is None else bml
+                bh = np.minimum(g.lengths.astype(np.int64) - 1, half)
+                hop = np.asarray(
+                    [plan.windows[int(b)].hop for b in g.band_idx],
+                    dtype=np.int32,
+                )
+                self._fused_buckets.append({
+                    "band_idx": g.band_idx,
+                    "Wmax": g.Wmax,
+                    "lag_min": ftab["lag_min"],
+                    "hop": jnp.asarray(hop[:, None]),
+                    "lo": jnp.asarray((half - bh)[:, None], jnp.int32),
+                    "hi": jnp.asarray((half + bh)[:, None], jnp.int32),
+                    "len_mask": jnp.asarray(
+                        g.len_mask.reshape(len(g.band_idx), g.Lmax), dtype
+                    ),
+                    "tables": {
+                        k: (jnp.asarray(v) if isinstance(v, np.ndarray)
+                            else v)
+                        for k, v in ftab.items()
+                    },
+                })
+            order = np.concatenate([g.band_idx for g in bgrids])
+            self._bucket_inv_perm = np.argsort(order).astype(np.int32)
         if xcorr_method in ("mxu", "pallas"):
             if xcorr_method == "mxu":
                 tab = XC.precompute_dft_tables(
@@ -333,7 +380,8 @@ class NarrowBandPipeline:
                     build_bucket_grids,
                 )
                 bgrids = build_bucket_grids(
-                    plan, ratio=bucket_ratio, max_lag=max_lag
+                    plan, ratio=bucket_ratio, max_lag=max_lag,
+                    slack=bucket_slack,
                 )
                 self._buckets = []
                 for g in bgrids:
@@ -389,6 +437,8 @@ class NarrowBandPipeline:
         and multi-array pipelines so they inherit the bucketed/strided/
         fast-mode optimizations."""
         plan = self.plan
+        if self.xcorr_method == "fused":
+            return self._xcorr_fused(y)
         if self.bucket_bands:
             return self._xcorr_bucketed(y)
         win = self._extract(y)
@@ -421,6 +471,11 @@ class NarrowBandPipeline:
         A, B = y.shape[0], y.shape[1]
         plan = self.plan
         Wmax = plan.max_windows
+
+        if self.xcorr_method == "fused":
+            return self._xcorr_fused(
+                y.reshape((A * B,) + y.shape[2:]), arrays=A
+            )
 
         def merge(win):
             # (A, Bg, Wg, C, Lg) -> (Bg, A*Wg, C, Lg)
@@ -552,6 +607,66 @@ class NarrowBandPipeline:
             return self._core(y)
 
         return step
+
+    def _xcorr_fused(self, y, arrays: int = 1):
+        """Megakernel delays: (B, C, T) or (A*B, C, T) -> (tau, rho, mdccm).
+
+        One `fused_xcorr_bucket` launch per window-length bucket; windows,
+        spectra, cross-spectra and the correlation never touch HBM (see
+        ops.kernels.fused_xcorr).  With ``arrays > 1`` the leading axis is
+        A merged arrays: bucket rows become (A*Bg) band rows sharing the
+        same static shapes.
+        """
+        from narrow_band_least_squares_tpu.ops.kernels.fused_xcorr import (
+            fused_xcorr_bucket,
+        )
+
+        plan = self.plan
+        Wmax = plan.max_windows
+        B = plan.nbands
+        A = arrays
+        taus, rhos, mds = [], [], []
+        for bk in self._fused_buckets:
+            t = bk["tables"]
+            bidx = bk["band_idx"]
+            if A > 1:
+                rows = np.concatenate([a * B + bidx for a in range(A)])
+            else:
+                rows = bidx
+            rep = (lambda v: jnp.tile(v, (A, 1))) if A > 1 else (lambda v: v)
+            rho, idx = fused_xcorr_bucket(
+                y[rows], rep(bk["hop"]), rep(bk["lo"]), rep(bk["hi"]),
+                rep(bk["len_mask"]),
+                t["Cf"], t["Sf"], t["Ec"], t["Es"], t["si"], t["sj"],
+                Wmax=bk["Wmax"], T=plan.npts,
+                interpret=self._pallas_interpret,
+                precision=self.matmul_precision,
+            )
+            rho = rho[:, :bk["Wmax"]]
+            idx = idx[:, :bk["Wmax"]]
+            tau = (idx.astype(y.dtype) + bk["lag_min"]) / plan.fs
+            md = jnp.median(rho, axis=-1)
+            pad = Wmax - rho.shape[1]
+            if pad:
+                tau = jnp.pad(tau, ((0, 0), (0, pad), (0, 0)))
+                rho = jnp.pad(rho, ((0, 0), (0, pad), (0, 0)))
+                md = jnp.pad(md, ((0, 0), (0, pad)))
+            if A > 1:
+                Bg = len(bidx)
+                tau = tau.reshape((A, Bg) + tau.shape[1:])
+                rho = rho.reshape((A, Bg) + rho.shape[1:])
+                md = md.reshape((A, Bg) + md.shape[1:])
+            taus.append(tau)
+            rhos.append(rho)
+            mds.append(md)
+        ax = 1 if A > 1 else 0
+        inv = self._bucket_inv_perm
+        take = (lambda v: v[:, inv]) if A > 1 else (lambda v: v[inv])
+        return (
+            take(jnp.concatenate(taus, axis=ax)),
+            take(jnp.concatenate(rhos, axis=ax)),
+            take(jnp.concatenate(mds, axis=ax)),
+        )
 
     def _xcorr_bucketed(self, y):
         """Per-winlen-bucket xcorr: compact (Wmax_g, Lmax_g) grids per bucket.

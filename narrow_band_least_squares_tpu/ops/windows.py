@@ -89,34 +89,68 @@ class BucketGrid:
     Lmax: int
 
 
+def bucket_by_cost(
+    lens: np.ndarray,        # (n,) window length per item, any order
+    wins: np.ndarray,        # (n,) window count per item
+    slack: float = 1.08,
+) -> list:
+    """Group items (bands or band-slots) into padded-shape buckets by cost.
+
+    Items are walked in descending window length; an item joins the current
+    bucket only while the bucket's *padded* xcorr cost (items x Wmax x
+    Lmax^2, the shape everything in the bucket is padded to) stays within
+    ``slack`` of the sum of per-item true costs.  This accounts for both
+    the L padding (the old length-ratio rule) and the W padding the old
+    rule ignored — window counts grow as lengths shrink, so merging bands
+    of similar L but different W inflated the matmuls up to ~1.4x
+    (measured 22% step overhead on the nb=2 band-sharded canonical plan).
+    The small fixed per-bucket program overhead is what ``slack`` buys.
+    Returns a list of index groups (into the input arrays).
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    wins = np.asarray(wins, dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    groups: list = []
+    cur: list = []
+    cur_true = 0.0
+    for i in order:
+        i = int(i)
+        cand = cur + [i]
+        Lg = int(lens[cand].max())
+        Wg = int(wins[cand].max())
+        true = cur_true + float(wins[i]) * float(lens[i]) ** 2
+        padded = len(cand) * float(Wg) * float(Lg) ** 2
+        if not cur or padded <= slack * true:
+            cur = cand
+            cur_true = true
+        else:
+            groups.append(cur)
+            cur = [i]
+            cur_true = float(wins[i]) * float(lens[i]) ** 2
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def build_bucket_grids(
     plan: NarrowBandPlan,
     ratio: float = 1.3,
     max_lag: int | None = None,
+    slack: float = 1.08,
 ) -> list:
     """Partition bands into window-length buckets and build each sub-grid.
 
-    Bands are grouped greedily by descending ``winlensamp``: a band joins the
-    current bucket while ``Lmax_bucket / winlensamp <= ratio``.  Each bucket
+    Bands are grouped by padded-cost (`bucket_by_cost`, which bounds both
+    the L and the W padding of each bucket's static shapes); each bucket
     gets its own compact gather/mask grid (its own Lmax and Wmax).  With
     ``max_lag`` the per-bucket lag range is additionally capped to
     ``[-max_lag, max_lag]`` (clamped to the bucket's own Lmax-1).
+    ``ratio`` is kept for API compatibility; it no longer drives the
+    grouping.
     """
-    order = np.argsort([-wp.winlensamp for wp in plan.windows], kind="stable")
-    buckets: list = []
-    cur: list = []
-    cur_Lmax = 0
-    for b in order:
-        L = plan.windows[int(b)].winlensamp
-        if not cur:
-            cur, cur_Lmax = [int(b)], L
-        elif cur_Lmax / L <= ratio:
-            cur.append(int(b))
-        else:
-            buckets.append(cur)
-            cur, cur_Lmax = [int(b)], L
-    if cur:
-        buckets.append(cur)
+    lens = np.array([wp.winlensamp for wp in plan.windows])
+    wins = np.array([wp.n_windows for wp in plan.windows])
+    buckets = bucket_by_cost(lens, wins, slack=slack)
 
     grids = []
     for band_list in buckets:

@@ -122,6 +122,7 @@ class ShardedNarrowBandPipeline:
         subsample_delays: bool = False,
         bucket_bands: bool = True,
         bucket_ratio: float = 1.3,
+        bucket_slack: float = 1.08,
         fast_mode: bool = False,
         max_lts_candidates: int = 4096,
         mesh_shape: Optional[Tuple[int, int]] = None,
@@ -173,10 +174,12 @@ class ShardedNarrowBandPipeline:
             lts_candidate_chunk=lts_candidate_chunk,
             lts_funnel_k=lts_funnel_k, subsample_delays=subsample_delays,
             bucket_bands=(self.bucket_bands and self.nb == 1),
-            bucket_ratio=bucket_ratio, fast_mode=fast_mode,
+            bucket_ratio=bucket_ratio, bucket_slack=bucket_slack,
+            fast_mode=fast_mode,
             max_lts_candidates=max_lts_candidates,
         )
         self.base = base
+        self._bucket_slack = float(bucket_slack)
         self.plan = plan
         self.alpha = float(alpha)
         self.dtype = dtype
@@ -252,21 +255,8 @@ class ShardedNarrowBandPipeline:
         slot_len = lens[deal].max(axis=0)          # (B_loc,)
         slot_win = nwin[deal].max(axis=0)
 
-        order = np.argsort(-slot_len, kind="stable")
-        groups: List[List[int]] = []
-        cur: List[int] = []
-        cur_L = 0
-        for s in order:
-            Ls = int(slot_len[s])
-            if not cur:
-                cur, cur_L = [int(s)], Ls
-            elif cur_L / Ls <= ratio:
-                cur.append(int(s))
-            else:
-                groups.append(cur)
-                cur, cur_L = [int(s)], Ls
-        if cur:
-            groups.append(cur)
+        from narrow_band_least_squares_tpu.ops.windows import bucket_by_cost
+        groups = bucket_by_cost(slot_len, slot_win, slack=self._bucket_slack)
 
         dtype = np.dtype(self.dtype)
         build_idx = self._shard_extract == "gather"

@@ -324,3 +324,76 @@ def test_strided_bucketed_matches_gather_bucketed(small_stream):
         if alpha < 1.0:
             assert np.array_equal(np.asarray(r1["flags"]),
                                   np.asarray(r2["flags"]))
+
+
+class TestFusedMegakernel:
+    """The Pallas megakernel (extract+spectra+xcorr+argmax in VMEM) must
+    match the staged MXU pipeline end-to-end (interpret mode on CPU)."""
+
+    @pytest.fixture(scope="class")
+    def workload(self):
+        from narrow_band_least_squares_tpu.io.synthetic import (
+            synthetic_plane_wave,
+        )
+        from narrow_band_least_squares_tpu.utils.geometry import get_rij
+        from narrow_band_least_squares_tpu.utils.plan import (
+            get_freqlist, get_winlenlist, make_plan,
+        )
+
+        st = synthetic_plane_wave(
+            nchans=6, duration_s=300, fs=10.0, baz_deg=200.0,
+            trace_vel_kms=0.33, f0=0.6, bandwidth=0.8, snr=10, seed=3,
+        )
+        freqlist, nbands, _ = get_freqlist(0.2, 1.6, "log", 3)
+        winlens = get_winlenlist("adaptive", nbands, 30, 40, 20)
+        plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        return st, plan, rij
+
+    def test_matches_mxu_pipeline(self, workload):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = workload
+        pm = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=1.0)
+        pf = NarrowBandPipeline(
+            plan, rij, filter_type="cheby1", alpha=1.0, xcorr_method="fused",
+        )
+        rm, rf = pm.run_raw(st.data), pf.run_raw(st.data)
+        np.testing.assert_allclose(
+            np.asarray(rm["vel"]), np.asarray(rf["vel"]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rm["baz"]), np.asarray(rf["baz"]), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rm["mdccm"]), np.asarray(rf["mdccm"]), atol=2e-5,
+        )
+
+    def test_multiarray_merge(self, workload):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = workload
+        pf = NarrowBandPipeline(
+            plan, rij, filter_type="cheby1", alpha=1.0, xcorr_method="fused",
+        )
+        batch = np.stack([st.data, st.data[:, ::-1]], axis=0)
+        rb = pf.run_batch_raw(batch)
+        r0 = pf.run_raw(st.data)
+        np.testing.assert_allclose(
+            np.asarray(rb["vel"][0]), np.asarray(r0["vel"]), atol=1e-5,
+        )
+
+    def test_fast_mode_rejected(self, workload):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = workload
+        with pytest.raises(ValueError):
+            NarrowBandPipeline(
+                plan, rij, alpha=1.0, xcorr_method="fused", fast_mode=True,
+            )
