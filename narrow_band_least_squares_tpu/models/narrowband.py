@@ -637,7 +637,7 @@ class NarrowBandPipeline:
             rho, idx = fused_xcorr_bucket(
                 y[rows], rep(bk["hop"]), rep(bk["lo"]), rep(bk["hi"]),
                 rep(bk["len_mask"]),
-                t["Cf"], t["Sf"], t["Ec"], t["Es"], t["si"], t["sj"],
+                t["Cf"], t["Sf"], t["Ec"], t["Es"], t["sbi"], t["sbj"],
                 Wmax=bk["Wmax"], T=plan.npts,
                 interpret=self._pallas_interpret,
                 precision=self.matmul_precision,
