@@ -146,18 +146,24 @@ def main():
     report["lowbt16"] = compare(plan_lo, rij, st_lo.data)
     print("lowbt16", json.dumps(report["lowbt16"]["guard"]), flush=True)
 
-    # 4) recorded golden event
-    from narrow_band_least_squares_tpu.io.ingest import (
-        mseed_to_stream, read_mseed,
+    # 4) recorded golden event (same fixture path as tests/test_golden_event)
+    from narrow_band_least_squares_tpu.io.fdsn import gather_waveforms_fdsn
+
+    DATA = os.path.join(HERE, "..", "tests", "data")
+    meta = json.load(open(os.path.join(DATA, "i53_synth_event_meta.json")))
+
+    def _fixture_fetch(url, timeout=60.0):
+        name = ("i53_synth_event.mseed" if "dataselect" in url
+                else "i53_synth_event.xml" if "level=response" in url
+                else "i53_synth_event.txt")
+        with open(os.path.join(DATA, name), "rb") as f:
+            return f.read()
+
+    t0 = meta["start_epoch"]
+    gst = gather_waveforms_fdsn(
+        "IRIS", "IM", "I53H*", "", "BDF", t0, t0 + meta["duration_s"],
+        remove_response=True, _fetch=_fixture_fetch,
     )
-    meta = json.load(
-        open(os.path.join(HERE, "..", "tests", "data",
-                          "i53_synth_event_meta.json"))
-    )
-    recs = read_mseed(
-        os.path.join(HERE, "..", "tests", "data", "i53_synth_event.mseed")
-    )
-    gst = mseed_to_stream(recs, scale=1.0 / meta["sensitivity"])
     g_rij = get_rij(gst.latitudes, gst.longitudes, gst.nchans)
     fl_g, nb_g, _ = get_freqlist(0.1, 5.0, "log", 8)
     wl_g = get_winlenlist("adaptive", nb_g, 50, 60, 30)
