@@ -35,7 +35,7 @@ rijs = [get_rij(s.latitudes, s.longitudes, s.nchans) for s in streams]
 data = np.stack([s.data for s in streams])
 
 kw = dict(alpha=0.75, window_method="gather", bucket_bands=False,
-          lts_funnel_k=4, fast_mode=True)
+          lts_funnel_k=4)
 base = NarrowBandPipeline(plan, rijs[0], **kw)
 
 y_all = jnp.stack([

@@ -48,12 +48,12 @@ def compare(tag, **kw):
     print(f"{tag}: max|dvel|={worst:.3e} flag_diffs={fl}")
 
 
-base_kw = dict(alpha=0.75, max_lag_s=8.0, fast_mode=True, lts_funnel_k=4)
+base_kw = dict(alpha=0.75, max_lag_s=8.0, lts_funnel_k=4)
 compare("full-combo         ", **base_kw)
-compare("no-funnel          ", alpha=0.75, max_lag_s=8.0, fast_mode=True)
+compare("no-funnel          ", alpha=0.75, max_lag_s=8.0)
 compare("no-fastmode        ", alpha=0.75, max_lag_s=8.0, lts_funnel_k=4)
 compare("funnel-only        ", alpha=0.75, lts_funnel_k=4)
-compare("fastmode-ols       ", alpha=1.0, max_lag_s=8.0, fast_mode=True)
+compare("fastmode-ols       ", alpha=1.0, max_lag_s=8.0)
 compare("plain-lts          ", alpha=0.75)
 
 # ---- objective gap at the divergent windows ----

@@ -68,8 +68,9 @@ def set_performance_defaults(**kwargs) -> dict:
     The reference call signatures (`narrow_band_least_squares`, `ltsva`)
     carry no performance options, so this module-level override is the
     drop-in-compatible way to tune them: ``xcorr_method``,
-    ``window_method``, ``max_lag_s``, ``matmul_precision``, ``fast_mode``,
+    ``window_method``, ``max_lag_s``, ``matmul_precision``,
     ``lts_funnel_k``, ``lts_candidate_chunk``, ``xcorr_chunk_mb``,
+    ``xcorr_lag_tile``,
     ``subsample_delays``, ``bucket_bands``, ``c_steps`` — anything
     `models.NarrowBandPipeline` accepts.  Passing ``None`` for a key
     removes it.  Returns the previous overrides (so callers can restore).

@@ -81,9 +81,9 @@ class NBLSConfig:
     window_method: str = "strided"  # 'strided' | 'gather' | 'patches'
     max_lag_s: Optional[float] = None   # physical lag cap [s] (None = full)
     matmul_precision: str = "high"  # 'highest' | 'high' (bf16x3) | 'default'
-    fast_mode: bool = False         # bf16 peak search + exact re-evaluation
     lts_funnel_k: int = 0           # FAST-LTS funnel (0 = exact all-candidate)
     xcorr_chunk_mb: float = 16.0    # per-chunk cc-tensor budget (0 = off)
+    xcorr_lag_tile: int = 512       # lag-axis tile of the inverse DFT (0 = off)
 
     def __post_init__(self):
         if self.FREQ_BAND_TYPE not in FREQ_BAND_TYPES:
@@ -123,9 +123,9 @@ class NBLSConfig:
             ("window_method", "strided"),
             ("max_lag_s", None),
             ("matmul_precision", "high"),
-            ("fast_mode", False),
             ("lts_funnel_k", 0),
             ("xcorr_chunk_mb", 16.0),
+            ("xcorr_lag_tile", 512),
         ):
             v = getattr(self, key)
             if v != default:

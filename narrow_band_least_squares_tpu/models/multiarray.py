@@ -56,7 +56,7 @@ class MultiArrayPipeline:
         **base_kwargs,
     ):
         """``base_kwargs`` forwards the single-chip performance options
-        (xcorr_method, window_method, max_lag_s, bucket_bands, fast_mode,
+        (xcorr_method, window_method, max_lag_s, bucket_bands,
         lts_funnel_k, ...) to the underlying `NarrowBandPipeline`.
 
         ``merge_chunk_arrays`` caps how many arrays are merged into one

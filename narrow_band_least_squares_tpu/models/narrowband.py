@@ -75,24 +75,6 @@ class NarrowBandResult:
         )
 
 
-def band_supp_radius(plan: NarrowBandPlan, refine: int = 1) -> np.ndarray:
-    """Per-band rival-lobe suppression radius for fast-mode peak search.
-
-    Half the band's geometric-center period in samples, clipped to the
-    valid lag range — the distance at which a bandpassed correlation's
-    rival lobe lives (cycle-skip guard, ops.xcorr.cross_correlate_mxu).
-    """
-    rad = np.empty(plan.nbands, np.int64)
-    for b in range(plan.nbands):
-        lo, hi = plan.edges(b)
-        fc = float(np.sqrt(float(lo) * float(hi)))
-        # unknown band edges (pre-filtered ltsva contract / broadband):
-        # no period to scale by, keep the plain +-refine neighborhood
-        rad[b] = int(round(0.5 * plan.fs / fc)) if fc > 0 else refine
-    lens = np.array([wp.winlensamp for wp in plan.windows], dtype=np.int64)
-    return np.clip(rad, refine, lens - 1).astype(np.int32)
-
-
 def flags_to_stdict(
     flags: np.ndarray,           # (B, Wmax, P) bool
     t_array: np.ndarray,         # (B, width) datenums
@@ -169,11 +151,11 @@ class NarrowBandPipeline:
         bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
         bucket_ratio: float = 1.3,       # (legacy knob; grouping is cost-based)
         bucket_slack: float = 1.08,      # padded/true cost tolerance per bucket
-        fast_mode: bool = False,         # bf16 peak search + exact re-evaluation
         xcorr_chunk_mb: float = 16.0,    # cap the per-chunk cc tensor (0 = off)
-        fast_guard: bool = True,         # period-scaled rival-lobe candidate
-        #   suppression for fast_mode (False = +-refine only; A/B knob for
-        #   benchmarks/fast_mode_envelope.py)
+        xcorr_lag_tile: int = 512,       # lag-axis tile of the inverse-DFT
+        #   matmul; the running (max, argmax) across tiles keeps the
+        #   (B, W, P, nlag) cc tensor out of HBM (0 = full materialization).
+        #   Bit-identical tau/rho (ops.xcorr.cross_correlate_mxu).
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -205,6 +187,7 @@ class NarrowBandPipeline:
         # the cliff.  Chunks are unrolled (not lax.map) so XLA can overlap
         # them; very dense sweeps (hundreds of bands) pay compile time.
         self.xcorr_chunk_bytes = int(float(xcorr_chunk_mb) * 1e6)
+        self.xcorr_lag_tile = int(xcorr_lag_tile)
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -263,28 +246,13 @@ class NarrowBandPipeline:
             "high": _lax.Precision.HIGH,
             "default": _lax.Precision.DEFAULT,
         }[matmul_precision]
-        # fast mode: pure-bf16 matmul peak search, then exact float32
-        # re-evaluation of rho/tau at (and around) the winning lag.
-        # Throughput mode for strong-SNR production streams; the bf16 search
-        # can land a cycle off on very-low-BT bands, hence opt-in.
-        self.fast_mode = bool(fast_mode)
         if xcorr_method in ("pallas", "fused"):
-            if self.fast_mode:
-                # the fused kernels have no exact-peak re-evaluation, so a
-                # bf16 search would silently degrade rho/tau accuracy
-                raise ValueError(
-                    "fast_mode requires xcorr_method='mxu' (the pallas/"
-                    "fused kernels have no exact-peak re-evaluation "
-                    "safeguard)"
-                )
             if subsample_delays:
                 logger.warning(
                     "subsample_delays is ignored with xcorr_method='pallas' "
                     "(the fused kernel returns integer-lag peaks); use "
                     "xcorr_method='mxu' for parabolic sub-sample refinement"
                 )
-        if self.fast_mode:
-            self.matmul_precision = _lax.Precision.DEFAULT
         max_lag = None
         if max_lag_s is not None:
             max_lag = min(int(max_lag_s * plan.fs), grid.Lmax - 1)
@@ -297,15 +265,6 @@ class NarrowBandPipeline:
         if max_lag is not None:
             half = np.minimum(half, max_lag)
         self._lag_half = jnp.asarray(half, jnp.int32)
-        # fast-mode cycle-skip guard: per-band second-candidate suppression
-        # radius = half the band's center period in samples, so the exact
-        # re-evaluation arbitrates between rival correlation lobes (see
-        # ops.xcorr.cross_correlate_mxu supp_rad)
-        self._supp_rad_np = band_supp_radius(plan)
-        self.fast_guard = bool(fast_guard)
-        self._supp_rad = (
-            jnp.asarray(self._supp_rad_np) if self.fast_guard else None
-        )
         # bucketing is numerically equivalent to the global grid and ~2x
         # faster (measured on v5e, both 8-band canonical and 50-band dense);
         # it composes with the gather/strided extractors and both the mxu
@@ -403,10 +362,6 @@ class NarrowBandPipeline:
                         "grid": g,
                         "band_idx": g.band_idx,
                         "lag_half": jnp.asarray(bhalf, jnp.int32),
-                        "supp_rad": (
-                            jnp.asarray(self._supp_rad_np[g.band_idx])
-                            if self.fast_guard else None
-                        ),
                         "idx": jnp.asarray(g.idx),
                         "len_mask": jnp.asarray(g.len_mask, dtype),
                         "lengths": jnp.asarray(g.lengths, dtype),
@@ -445,7 +400,6 @@ class NarrowBandPipeline:
         if self.xcorr_method == "mxu":
             return self._xcorr_mxu_chunked(
                 win, self._lag_mask, self._dft_tables, self._lag_half,
-                supp_rad=self._supp_rad,
             )
         if self.xcorr_method == "pallas":
             return XC.cross_correlate_pallas(
@@ -514,7 +468,6 @@ class NarrowBandPipeline:
                 Wg = win.shape[2]
                 tau, rho, md = self._xcorr_mxu_chunked(
                     merge(win), bk["lag_mask"], bk["tables"], bk["lag_half"],
-                    supp_rad=bk["supp_rad"],
                 )
                 tau, rho, md = split(tau, Wg), split(rho, Wg), split(md, Wg)
                 pad = Wmax - Wg
@@ -536,7 +489,6 @@ class NarrowBandPipeline:
         if self.xcorr_method == "mxu":
             tau, rho, md = self._xcorr_mxu_chunked(
                 merge(win), self._lag_mask, self._dft_tables, self._lag_half,
-                supp_rad=self._supp_rad,
             )
         elif self.xcorr_method == "pallas":
             tau, rho, md = XC.cross_correlate_pallas(
@@ -697,7 +649,6 @@ class NarrowBandPipeline:
             else:
                 tau, rho, md = self._xcorr_mxu_chunked(
                     win, bk["lag_mask"], bk["tables"], bk["lag_half"],
-                    supp_rad=bk["supp_rad"],
                 )
             pad = Wmax - tau.shape[1]
             if pad:
@@ -714,13 +665,15 @@ class NarrowBandPipeline:
             jnp.concatenate(mds, axis=0)[inv],
         )
 
-    def _xcorr_mxu_chunked(self, win, lag_mask, tables, lag_half,
-                           supp_rad=None):
+    def _xcorr_mxu_chunked(self, win, lag_mask, tables, lag_half):
         """MXU xcorr with the band axis chunked to cap the cc tensor size.
 
         See the `xcorr_chunk_mb` constructor note: one program over a
         multi-hundred-MB (B, W, P, nlag) tensor tiles badly on v5e; slices
         of a few bands each (unrolled in the same jit) run at roofline.
+        With `xcorr_lag_tile` on, the per-chunk cc tensor never fully
+        materializes either — the chunk size then mostly bounds the live
+        cross-spectra, and the two knobs compose.
         """
         plan = self.plan
         Bg, Wg = win.shape[0], win.shape[1]
@@ -735,8 +688,7 @@ class NarrowBandPipeline:
                 win, self._pairs, lag_mask, tables, plan.fs,
                 precision=self.matmul_precision,
                 subsample=self.subsample_delays,
-                exact_peak=self.fast_mode, lag_half=lag_half,
-                supp_rad=supp_rad,
+                lag_tile=self.xcorr_lag_tile,
             )
         outs = [
             XC.cross_correlate_mxu(
@@ -744,10 +696,7 @@ class NarrowBandPipeline:
                 tables, plan.fs,
                 precision=self.matmul_precision,
                 subsample=self.subsample_delays,
-                exact_peak=self.fast_mode, lag_half=lag_half[b0:b0 + cb],
-                supp_rad=(
-                    None if supp_rad is None else supp_rad[b0:b0 + cb]
-                ),
+                lag_tile=self.xcorr_lag_tile,
             )
             for b0 in range(0, Bg, cb)
         ]

@@ -60,160 +60,6 @@ def cross_correlate(
     return tau, rho, mdccm
 
 
-def exact_peak_refine(
-    win: jnp.ndarray,        # (B, W, C, Lmax) demeaned, zero-padded windows
-    pairs: jnp.ndarray,      # (P, 2)
-    k_idx: jnp.ndarray,      # (B, W, P) argmax index into the lag axis
-    lag_min: int,            # lag of index 0
-    lag_half: jnp.ndarray,   # (B,) max |lag| per band (winlen-1, capped)
-    refine: int = 1,         # also test +-refine neighbor lags
-    subsample: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact time-domain re-evaluation of the correlation peak.
-
-    Recomputes cc(l) = sum_t x_j(t+l) x_i(t) in float32 at the candidate lag
-    and its ``refine`` neighbors, re-argmaxes locally, and returns
-    (peak value, lag [samples, float]).  This makes a low-precision (bf16)
-    matmul search safe: the cheap pass only has to get the peak to within
-    ``refine`` samples; the returned rho/tau are exact at the chosen lag.
-    With ``subsample`` the three exact values around the winner give the
-    parabolic-vertex fractional lag.
-    """
-    B, W, C, L = win.shape
-    xi = win[:, :, pairs[:, 0], :]                      # (B, W, P, L)
-    xj = win[:, :, pairs[:, 1], :]
-    xj_pad = jnp.pad(xj, ((0, 0), (0, 0), (0, 0), (L, L)))
-    half = lag_half[:, None, None]                      # (B, 1, 1)
-    base = jnp.clip(k_idx + lag_min, -half, half)
-    t = jnp.arange(L, dtype=jnp.int32)
-
-    def cc_at(lag):
-        idx = lag[..., None] + L + t                    # (B, W, P, L)
-        shifted = jnp.take_along_axis(xj_pad, idx, axis=-1)
-        return jnp.sum(shifted * xi, axis=-1)
-
-    offs = list(range(-refine, refine + 1))
-    vals = []
-    lags = []
-    for off in offs:
-        lag = jnp.clip(base + off, -half, half)
-        lags.append(lag)
-        vals.append(cc_at(lag))
-    stacked = jnp.stack(vals, axis=0)                   # (2r+1, B, W, P)
-    lag_stack = jnp.stack(lags, axis=0)
-    kbest = jnp.argmax(stacked, axis=0)                 # (B, W, P)
-    peak = jnp.max(stacked, axis=0)
-    lag_best = jnp.take_along_axis(lag_stack, kbest[None], axis=0)[0]
-    frac = 0.0
-    if subsample:
-        n = len(offs)
-        km = jnp.clip(kbest - 1, 0, n - 1)
-        kp = jnp.clip(kbest + 1, 0, n - 1)
-        cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
-        cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
-        denom = cm - 2.0 * peak + cp
-        frac = jnp.where(
-            (jnp.abs(denom) > 1e-20) & (kbest > 0) & (kbest < n - 1),
-            0.5 * (cm - cp) / denom,
-            0.0,
-        )
-        frac = jnp.clip(frac, -0.5, 0.5)
-    return peak, lag_best.astype(win.dtype) + frac
-
-
-def exact_peak_refine_freq(
-    ReCS: jnp.ndarray,       # (B, W, P, K) accurate cross-spectra (real)
-    ImCS: jnp.ndarray,       # (B, W, P, K)
-    tables: Dict[str, jnp.ndarray],
-    k_idx: jnp.ndarray,      # (B, W, P) or (B, W, P, ncand) candidate lags
-    lag_min: int,
-    lag_half: jnp.ndarray,   # (B,) max |lag| per band
-    refine: int = 1,
-    subsample: bool = False,
-    cand_valid: jnp.ndarray | None = None,  # (B, W, P, ncand) bool
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """TPU-friendly exact peak re-evaluation in the frequency domain.
-
-    Evaluates cc(l) = Re(CS) . Ec[:, l] - Im(CS) . Es[:, l] in float32 at
-    each candidate lag and its ``refine`` neighbors by ROW-gathering the
-    inverse DFT tables (an embedding-style lookup — contiguous (K,) rows —
-    which the TPU handles well, unlike per-element gathers along the minor
-    axis).  Re-argmaxes locally and returns (peak value, lag [samples,
-    float]).  The result is f32-exact given f32-accurate cross-spectra, so
-    the big inverse matmul can run in pure bf16.
-
-    Multiple candidates (``k_idx`` with a trailing ncand axis, typically the
-    top-2 peaks of the cheap search) make the selection robust to near-tied
-    correlation peaks a cycle apart: the cheap search may rank two near-equal
-    peaks either way depending on program shape/fusion, but as long as BOTH
-    land in the candidate set, the exact re-evaluation picks the same winner
-    in every program.  Exact value ties break toward the smaller lag (the
-    reference's ascending-lag first-max convention, oracle._xcorr_delays).
-    """
-    EcT = tables["Ec"].T                           # (nlag, K)
-    EsT = tables["Es"].T
-    nlag = EcT.shape[0]
-    if k_idx.ndim == ReCS.ndim - 1:
-        k_idx = k_idx[..., None]
-    ncand = k_idx.shape[-1]
-    half = lag_half[:, None, None]
-    k_lo = (-half) - lag_min
-    k_hi = half - lag_min
-    best = None
-    for c in range(ncand):
-        base = jnp.clip(k_idx[..., c], k_lo, k_hi)
-        vals = []
-        ks = []
-        for off in range(-refine, refine + 1):
-            k = jnp.clip(base + off, jnp.maximum(k_lo, 0),
-                         jnp.minimum(k_hi, nlag - 1))
-            ec = jnp.take(EcT, k, axis=0)          # (B, W, P, K)
-            es = jnp.take(EsT, k, axis=0)
-            vals.append(jnp.sum(ReCS * ec - ImCS * es, axis=-1))
-            ks.append(k)
-        stacked = jnp.stack(vals, axis=0)          # (2r+1, B, W, P)
-        k_stack = jnp.stack(ks, axis=0)
-        # within-group argmax with smaller-lag tie-break: clipping can
-        # duplicate lags at the band edge, and near-ties must resolve
-        # identically regardless of candidate order
-        gmax = jnp.max(stacked, axis=0)
-        kwin = jnp.min(jnp.where(stacked == gmax, k_stack, nlag), axis=0)
-        sel = jnp.argmax(
-            (k_stack == kwin[None]) & (stacked == gmax[None]), axis=0
-        )
-        peak = gmax
-        k_sel = kwin
-        frac = jnp.zeros_like(peak)
-        if subsample:
-            n = stacked.shape[0]
-            km = jnp.clip(sel - 1, 0, n - 1)
-            kp = jnp.clip(sel + 1, 0, n - 1)
-            cm = jnp.take_along_axis(stacked, km[None], axis=0)[0]
-            cp = jnp.take_along_axis(stacked, kp[None], axis=0)[0]
-            denom = cm - 2.0 * peak + cp
-            frac = jnp.where(
-                (jnp.abs(denom) > 1e-20) & (sel > 0) & (sel < n - 1),
-                0.5 * (cm - cp) / denom,
-                0.0,
-            )
-            frac = jnp.clip(frac, -0.5, 0.5)
-        if cand_valid is not None:
-            peak = jnp.where(cand_valid[..., c], peak, -jnp.inf)
-        if best is None:
-            best = (peak, k_sel, frac)
-        else:
-            bpeak, bk, bfrac = best
-            take = (peak > bpeak) | ((peak == bpeak) & (k_sel < bk))
-            best = (
-                jnp.where(take, peak, bpeak),
-                jnp.where(take, k_sel, bk),
-                jnp.where(take, frac, bfrac),
-            )
-    peak, k_sel, frac = best
-    lag = k_sel.astype(ReCS.dtype) + lag_min + frac
-    return peak, lag
-
-
 # --------------------------------------------------------------------------
 # MXU path: DFT-as-matmul cross-correlation
 # --------------------------------------------------------------------------
@@ -271,46 +117,37 @@ def cross_correlate_mxu(
     fs: float,
     precision=jax.lax.Precision.HIGHEST,
     subsample: bool = False,
-    exact_peak: bool = False,
-    lag_half: jnp.ndarray | None = None,   # (B,) max |lag|, for exact_peak
-    refine: int = 1,
-    supp_rad: jnp.ndarray | None = None,   # (B,) candidate-suppression radius
+    lag_tile: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """MXU cross-correlation; same contract as `cross_correlate`.
+
+    ``lag_tile`` tiles the lag (output-column) axis of the inverse-DFT
+    matmul and folds the masked first-max argmax into a running
+    (max, argmax) across tiles, so the ``(B, W, P, nlag)`` correlation
+    tensor never materializes in HBM — only ``(B, W, P, lag_tile)`` slices
+    that XLA keeps fusion-local.  The delays stage is HBM-bound (v5e:
+    ~79% of the canonical OLS step's bytes), and writing + re-reading the
+    full cc tensor was the single largest term; each tile's cc values are
+    the same contraction over K at the same precision, and the
+    strictly-greater running compare preserves the reference's
+    ascending-lag first-max tie-break (oracle._xcorr_delays), so tau/rho
+    are bit-identical to the untiled program.  ``0`` disables.
 
     ``subsample=True`` refines each integer-lag peak with the parabolic
     vertex through its two neighbors (classic three-point interpolation) —
     a beyond-reference extension (the reference quantizes delays to the
-    sample grid); off by default for parity.
-
-    ``exact_peak=True`` re-evaluates the correlation exactly (float32,
-    time domain) at the argmax lag and its ``refine`` neighbors and takes
-    rho/tau from that local re-argmax — the fast-mode companion to a
-    low-``precision`` (bf16) matmul search (see `exact_peak_refine`).
-
-    ``supp_rad`` sets the per-band suppression radius for the second
-    candidate of the exact re-evaluation.  A bandpassed correlation is
-    oscillatory at the band's center period, and the cycle-skip failure of
-    a cheap peak search is landing on the rival lobe ONE PERIOD away; with
-    the default radius (= ``refine``) the second candidate is merely a
-    neighboring lag of the same lobe and cannot catch that.  Passing
-    ``supp_rad ~ half the band period in samples`` makes the second
-    candidate the strongest *rival lobe*, so the exact f32 re-evaluation
-    chooses between the true contenders (the fast-mode low-BT guard).
+    sample grid); off by default for parity.  The neighbor values are
+    needed after the argmax, so this path materializes the full cc tensor
+    (lag tiling is ignored).
     """
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
 
-    # fast mode (exact_peak): the SMALL spectra matmul stays accurate (HIGH,
-    # bf16x3) so the cross-spectra are ~f32; only the big inverse-DFT matmul
-    # runs at the cheap precision, and the peak is re-evaluated exactly from
-    # the accurate cross-spectra afterwards.
-    spec_precision = jax.lax.Precision.HIGH if exact_peak else precision
     mm = lambda a, b, p: jnp.dot(a, b, precision=p,
                                  preferred_element_type=jnp.float32)
     flat = win.reshape(B * W * C, Lmax)
-    ReF = mm(flat, tables["Cf"], spec_precision).reshape(B, W, C, -1)
-    ImF = (-mm(flat, tables["Sf"], spec_precision)).reshape(B, W, C, -1)
+    ReF = mm(flat, tables["Cf"], precision).reshape(B, W, C, -1)
+    ImF = (-mm(flat, tables["Sf"], precision)).reshape(B, W, C, -1)
 
     ReI, ImI = ReF[:, :, pairs[:, 0], :], ImF[:, :, pairs[:, 0], :]
     ReJ, ImJ = ReF[:, :, pairs[:, 1], :], ImF[:, :, pairs[:, 1], :]
@@ -319,61 +156,53 @@ def cross_correlate_mxu(
 
     K = ReCS.shape[-1]
     P = pairs.shape[0]
-    cc_lin = (
-        mm(ReCS.reshape(-1, K), tables["Ec"], precision)
-        - mm(ImCS.reshape(-1, K), tables["Es"], precision)
-    ).reshape(B, W, P, -1)                           # (B, W, P, nlag)
-
-    mask = lag_mask[:, None, None, :]
-    cc_masked = jnp.where(mask, cc_lin, -jnp.inf)
-    k_idx = jnp.argmax(cc_masked, axis=-1)
-    peak = jnp.max(cc_masked, axis=-1)
+    nlag = tables["Ec"].shape[-1]
     lag_min = tables.get("lag_min", -(Lmax - 1))
-    if exact_peak:
-        if lag_half is None:
-            lag_half = jnp.full((B,), Lmax - 1, jnp.int32)
-        # Top-2 candidates: suppress +-refine around the winner and re-argmax.
-        # The cheap (low-precision / fusion-dependent) search may rank two
-        # near-tied peaks a cycle apart either way; carrying both into the
-        # exact re-evaluation makes the final lag choice program-shape
-        # independent (merged multi-array == single-array parity).
-        nlag_m = cc_masked.shape[-1]
-        ar = jnp.arange(nlag_m, dtype=k_idx.dtype)
-        rad = (refine if supp_rad is None
-               else supp_rad[:, None, None, None].astype(k_idx.dtype))
-        supp = jnp.abs(ar - k_idx[..., None]) <= rad
-        cc2 = jnp.where(supp, -jnp.inf, cc_masked)
-        k2 = jnp.argmax(cc2, axis=-1)
-        valid2 = jnp.isfinite(jnp.max(cc2, axis=-1))
-        k_cands = jnp.stack([k_idx, k2], axis=-1)
-        cand_valid = jnp.stack(
-            [jnp.ones_like(valid2), valid2], axis=-1
-        )
-        peak, lag = exact_peak_refine_freq(
-            ReCS, ImCS, tables, k_cands, lag_min, lag_half,
-            refine=refine, subsample=subsample, cand_valid=cand_valid,
-        )
-        tau = lag / fs
-        Ei = energy[:, :, pairs[:, 0]]
-        Ej = energy[:, :, pairs[:, 1]]
-        denom = jnp.sqrt(Ei * Ej)
-        rho = jnp.where(denom > 0, peak / denom, 0.0)
-        mdccm = jnp.median(rho, axis=-1)
-        return tau, rho, mdccm
-    frac = 0.0
-    if subsample:
-        nlag = cc_lin.shape[-1]
-        km = jnp.clip(k_idx - 1, 0, nlag - 1)
-        kp = jnp.clip(k_idx + 1, 0, nlag - 1)
-        cm = jnp.take_along_axis(cc_lin, km[..., None], axis=-1)[..., 0]
-        cp = jnp.take_along_axis(cc_lin, kp[..., None], axis=-1)[..., 0]
-        denom = cm - 2.0 * peak + cp
-        frac = jnp.where(
-            (jnp.abs(denom) > 1e-20) & (k_idx > 0) & (k_idx < nlag - 1),
-            0.5 * (cm - cp) / denom,
-            0.0,
-        )
-        frac = jnp.clip(frac, -0.5, 0.5)
+    ReCS2 = ReCS.reshape(-1, K)
+    ImCS2 = ImCS.reshape(-1, K)
+
+    if lag_tile and lag_tile < nlag and not subsample:
+        best_val = jnp.full((B, W, P), -jnp.inf, jnp.float32)
+        best_idx = jnp.zeros((B, W, P), jnp.int32)
+        for t0 in range(0, nlag, lag_tile):
+            t1 = min(t0 + lag_tile, nlag)
+            cc_t = (
+                mm(ReCS2, tables["Ec"][:, t0:t1], precision)
+                - mm(ImCS2, tables["Es"][:, t0:t1], precision)
+            ).reshape(B, W, P, t1 - t0)
+            cc_m = jnp.where(
+                lag_mask[:, None, None, t0:t1], cc_t, -jnp.inf
+            )
+            pk = jnp.max(cc_m, axis=-1)
+            ki = jnp.argmax(cc_m, axis=-1).astype(jnp.int32) + t0
+            take = pk > best_val
+            best_val = jnp.where(take, pk, best_val)
+            best_idx = jnp.where(take, ki, best_idx)
+        peak = best_val
+        k_idx = best_idx
+        frac = 0.0
+    else:
+        cc_lin = (
+            mm(ReCS2, tables["Ec"], precision)
+            - mm(ImCS2, tables["Es"], precision)
+        ).reshape(B, W, P, -1)                       # (B, W, P, nlag)
+        mask = lag_mask[:, None, None, :]
+        cc_masked = jnp.where(mask, cc_lin, -jnp.inf)
+        k_idx = jnp.argmax(cc_masked, axis=-1)
+        peak = jnp.max(cc_masked, axis=-1)
+        frac = 0.0
+        if subsample:
+            km = jnp.clip(k_idx - 1, 0, nlag - 1)
+            kp = jnp.clip(k_idx + 1, 0, nlag - 1)
+            cm = jnp.take_along_axis(cc_lin, km[..., None], axis=-1)[..., 0]
+            cp = jnp.take_along_axis(cc_lin, kp[..., None], axis=-1)[..., 0]
+            denom = cm - 2.0 * peak + cp
+            frac = jnp.where(
+                (jnp.abs(denom) > 1e-20) & (k_idx > 0) & (k_idx < nlag - 1),
+                0.5 * (cm - cp) / denom,
+                0.0,
+            )
+            frac = jnp.clip(frac, -0.5, 0.5)
     tau = (k_idx.astype(win.dtype) + frac + lag_min) / fs
 
     Ei = energy[:, :, pairs[:, 0]]

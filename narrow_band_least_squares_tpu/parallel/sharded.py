@@ -97,7 +97,7 @@ class ShardedNarrowBandPipeline:
             defaults to the filter-bank impulse length (exact warm-up) for
             causal filters and 0 for zero-phase.
         Remaining keywords mirror `NarrowBandPipeline` — the single-chip
-        performance options (bucketing, lag caps, LTS funnel, fast mode)
+        performance options (bucketing, lag caps, LTS funnel)
         are plumbed through so the per-chip step cost matches it.
     """
 
@@ -123,7 +123,6 @@ class ShardedNarrowBandPipeline:
         bucket_bands: bool = True,
         bucket_ratio: float = 1.3,
         bucket_slack: float = 1.08,
-        fast_mode: bool = False,
         max_lts_candidates: int = 4096,
         mesh_shape: Optional[Tuple[int, int]] = None,
     ):
@@ -175,7 +174,6 @@ class ShardedNarrowBandPipeline:
             lts_funnel_k=lts_funnel_k, subsample_delays=subsample_delays,
             bucket_bands=(self.bucket_bands and self.nb == 1),
             bucket_ratio=bucket_ratio, bucket_slack=bucket_slack,
-            fast_mode=fast_mode,
             max_lts_candidates=max_lts_candidates,
         )
         self.base = base
@@ -277,8 +275,6 @@ class ShardedNarrowBandPipeline:
             lengths = np.zeros((nb * Bg,), dtype=np.int32)
             lag_mask = np.zeros((nb * Bg, nlag), dtype=bool)
             lag_half = np.zeros((nb * Bg,), dtype=np.int32)
-            supp_rad = np.zeros((nb * Bg,), dtype=np.int32)
-            supp_np = self.base._supp_rad_np
             for k in range(nb):
                 for gi, s in enumerate(slots_np):
                     b = int(deal[k, int(s)])
@@ -289,7 +285,6 @@ class ShardedNarrowBandPipeline:
                     len_mask[r, :Lb] = 1.0
                     lag_mask[r] = np.abs(lags) <= (Lb - 1)
                     lag_half[r] = min(Lb - 1, half)
-                    supp_rad[r] = min(int(supp_np[b]), lag_half[r])
                     if build_idx:
                         for w, s0 in enumerate(wp.starts):
                             idx[r, w, :Lb] = s0 + np.arange(Lb)
@@ -309,7 +304,6 @@ class ShardedNarrowBandPipeline:
                 "lengths": jnp.asarray(lengths, self.dtype),
                 "lag_mask": jnp.asarray(lag_mask),
                 "lag_half": jnp.asarray(lag_half, jnp.int32),
-                "supp_rad": jnp.asarray(supp_rad, jnp.int32),
             }
             if build_idx:
                 bk["idx"] = jnp.asarray(idx)
@@ -425,7 +419,6 @@ class ShardedNarrowBandPipeline:
                         )
                     tau, rho, md = base._xcorr_mxu_chunked(
                         win, bk_c["lag_mask"], tables[g], bk_c["lag_half"],
-                        supp_rad=bk_c["supp_rad"],
                     )
                     pad = Wmax - tau.shape[1]
                     if pad:
@@ -444,7 +437,7 @@ class ShardedNarrowBandPipeline:
             if base.xcorr_method == "mxu":
                 tau, rho, mdccm = base._xcorr_mxu_chunked(
                     win, consts["lag_mask"], base._dft_tables,
-                    consts["lag_half"], supp_rad=consts["supp_rad"],
+                    consts["lag_half"],
                 )
             else:
                 tau, rho, mdccm = XC.cross_correlate(
@@ -472,7 +465,6 @@ class ShardedNarrowBandPipeline:
                         "lengths": bk["lengths"],
                         "lag_mask": bk["lag_mask"],
                         "lag_half": bk["lag_half"],
-                        "supp_rad": bk["supp_rad"],
                     }
                     for bk in self._slot_buckets
                 ),
@@ -488,7 +480,6 @@ class ShardedNarrowBandPipeline:
                         "lengths": P(BAND_AXIS),
                         "lag_mask": P(BAND_AXIS, None),
                         "lag_half": P(BAND_AXIS),
-                        "supp_rad": P(BAND_AXIS),
                     }
                     for bk in self._slot_buckets
                 ),
@@ -502,7 +493,6 @@ class ShardedNarrowBandPipeline:
             "lengths": base._lengths,
             "lag_mask": base._lag_mask,
             "lag_half": base._lag_half,
-            "supp_rad": base._supp_rad,
         }
         specs = {
             "h_bank": P(BAND_AXIS, None),
@@ -512,7 +502,6 @@ class ShardedNarrowBandPipeline:
             "lengths": P(BAND_AXIS),
             "lag_mask": P(BAND_AXIS, None),
             "lag_half": P(BAND_AXIS),
-            "supp_rad": P(BAND_AXIS),
         }
         return consts, specs
 

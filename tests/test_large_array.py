@@ -5,7 +5,7 @@ production arrays go to 12-16+ elements where the LTS machinery switches
 regimes: candidate subsampling (C(16,2)=120 pairs -> C(120,2)=7140 elemental
 2-subsets > max_lts_candidates), chunked candidate sweeps
 (``candidate_chunk``), the FAST-LTS funnel (``funnel_k``), and bf16
-``fast_mode``.
+``xcorr_lag_tile``.
 """
 
 import numpy as np
@@ -135,24 +135,6 @@ class TestP120Subsampled:
              NarrowBandPipeline(plan, rij, **kw).run_raw(st.data).items()}
         np.testing.assert_array_equal(a["vel"], b["vel"])
         np.testing.assert_array_equal(a["flags"], b["flags"])
-
-
-class TestFastMode16:
-    def test_fast_mode_matches_exact_at_16_channels(self):
-        """bf16 search + exact re-eval at P=120 (VERDICT: 'revisit for
-        larger arrays')."""
-        st, plan, rij = _build(16, duration_s=120.0)
-        exact = NarrowBandPipeline(plan, rij, alpha=1.0)
-        fast = NarrowBandPipeline(plan, rij, alpha=1.0, fast_mode=True)
-        a = {k: np.asarray(v) for k, v in exact.run_raw(st.data).items()}
-        b = {k: np.asarray(v) for k, v in fast.run_raw(st.data).items()}
-        good = a["mdccm"] > 0.5
-        assert good.sum() > 3
-        np.testing.assert_allclose(
-            a["vel"][good], b["vel"][good], rtol=0, atol=0.02,
-        )
-        d = np.abs((a["baz"][good] - b["baz"][good] + 180.0) % 360.0 - 180.0)
-        assert np.median(d) < 1.0
 
 
 class TestOracleParityP66:

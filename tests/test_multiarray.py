@@ -106,12 +106,12 @@ def test_mismatched_nchans_rejected(arrays):
 
 
 def test_optimized_options_match_individual(arrays):
-    """Round-2 plumbing: fast_mode/max_lag/funnel flow through run identically
+    """Round-2 plumbing: max_lag/funnel flow through run identically
     to the single-array pipeline configured the same way."""
     streams, plan, rijs = arrays
-    kw = dict(alpha=0.75, max_lag_s=8.0, fast_mode=True, lts_funnel_k=4)
+    kw = dict(alpha=0.75, max_lag_s=8.0, lts_funnel_k=4)
     batch = MultiArrayPipeline(plan, rijs, **kw)
-    assert batch.base.fast_mode and batch.base.bucket_bands
+    assert batch.base.bucket_bands
     out = batch.run_raw(np.stack([s.data for s in streams]))
     for k, (s, rij) in enumerate(zip(streams, rijs)):
         ref = NarrowBandPipeline(plan, rij, **kw).run_raw(s.data)
@@ -125,14 +125,14 @@ def test_optimized_options_match_individual(arrays):
 @pytest.mark.parametrize(
     "kw",
     [
-        dict(alpha=0.75, max_lag_s=8.0, fast_mode=True),
+        dict(alpha=0.75, max_lag_s=8.0),
         dict(alpha=0.75, max_lag_s=8.0, lts_funnel_k=4),
         dict(alpha=0.75, lts_funnel_k=4, subsample_delays=True),
-        dict(alpha=1.0, max_lag_s=8.0, fast_mode=True, subsample_delays=True),
+        dict(alpha=1.0, max_lag_s=8.0, subsample_delays=True),
         dict(alpha=0.75, window_method="gather", bucket_bands=False,
-             lts_funnel_k=4, fast_mode=True),
+             lts_funnel_k=4),
     ],
-    ids=["fast", "funnel", "funnel-subsamp", "ols-fast-subsamp",
+    ids=["maxlag", "funnel", "funnel-subsamp", "ols-maxlag-subsamp",
          "gather-nobucket"],
 )
 def test_perf_option_combos_match_individual(arrays, kw):

@@ -166,11 +166,11 @@ class TestOptimizedShardedPath:
             out["baz"][0][good], ref["baz"][good], rtol=1e-3, atol=1e-2
         )
 
-    def test_max_lag_and_fast_mode(self, long_stream):
+    def test_max_lag(self, long_stream):
         # aperture 2.04 km / 0.32 km/s -> max physical delay 6.4 s; the cap
         # must sit above it (production setting: aperture / min velocity)
         pipe, segs = _build(
-            long_stream, alpha=1.0, nt=2, nb=4, max_lag_s=8.0, fast_mode=True,
+            long_stream, alpha=1.0, nt=2, nb=4, max_lag_s=8.0,
         )
         sharded = pipe.run(segs)
         seq = pipe.run_reference_sequential(segs)
