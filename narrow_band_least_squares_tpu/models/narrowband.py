@@ -302,11 +302,15 @@ class NarrowBandPipeline:
                     [plan.windows[int(b)].hop for b in g.band_idx],
                     dtype=np.int32,
                 )
+                maxstart = (
+                    plan.npts - g.lengths.astype(np.int64)
+                ).astype(np.int32)
                 self._fused_buckets.append({
                     "band_idx": g.band_idx,
                     "Wmax": g.Wmax,
                     "lag_min": ftab["lag_min"],
                     "hop": jnp.asarray(hop[:, None]),
+                    "maxstart": jnp.asarray(maxstart[:, None]),
                     "lo": jnp.asarray((half - bh)[:, None], jnp.int32),
                     "hi": jnp.asarray((half + bh)[:, None], jnp.int32),
                     "len_mask": jnp.asarray(
@@ -587,7 +591,8 @@ class NarrowBandPipeline:
                 rows = bidx
             rep = (lambda v: jnp.tile(v, (A, 1))) if A > 1 else (lambda v: v)
             rho, idx = fused_xcorr_bucket(
-                y[rows], rep(bk["hop"]), rep(bk["lo"]), rep(bk["hi"]),
+                y[rows], rep(bk["hop"]), rep(bk["maxstart"]),
+                rep(bk["lo"]), rep(bk["hi"]),
                 rep(bk["len_mask"]),
                 t["Cf"], t["Sf"], t["Ec"], t["Es"], t["sbi"], t["sbj"],
                 Wmax=bk["Wmax"], T=plan.npts,

@@ -111,31 +111,83 @@ class StreamingMonitor:
         ]
 
     # ------------------------------------------------------------------
-    def process(self, st: ArrayStream, resume: bool = True) -> List[SegmentRecord]:
-        """Run every (not-yet-done) segment of a stream; persist results."""
+    def process(
+        self, st: ArrayStream, resume: bool = True, dispatch_depth: int = 2,
+    ) -> List[SegmentRecord]:
+        """Run every (not-yet-done) segment of a stream; persist results.
+
+        The device queue is kept ``dispatch_depth`` super-batches deep
+        (JAX dispatch is asynchronous), and TSV/npz persistence runs on a
+        worker thread, so host I/O overlaps device compute instead of
+        serializing with it (the round-3 monitor blocked on transfer +
+        persist between every batch and sustained ~1/30th of the raw step
+        throughput).  Resume semantics are unchanged: the writer is a
+        single ordered thread, and a batch is only persisted after its
+        device result is fully realized.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         todo = [
             (off, t0) for off, t0 in self.segment_starts(st)
             if not (resume and self._seg_done(t0))
         ]
-        done_records: List[SegmentRecord] = []
         if not todo:
-            return done_records
+            return []
 
         # mesh-sized super-batches of halo-extended segments; halos come
         # from the raw stream so non-contiguous resume batches stay exact
+        chunks = []
         for i in range(0, len(todo), self.batch):
             chunk = todo[i : i + self.batch]
             real = len(chunk)
             if real < self.batch:
                 # pad by repeating the last segment; padded outputs dropped
                 chunk = chunk + [chunk[-1]] * (self.batch - real)
-            x_ext = self.pipe.extend_segments(
-                st.data, [off for off, _ in chunk]
-            )
-            out = self._run_with_retry(lambda: self.pipe.run_extended(x_ext))
+            chunks.append((chunk, real))
+
+        futures = []
+        pending = deque()   # (device_out | None, x_ext, chunk, real)
+
+        def drain_one(writer):
+            dev, x_ext, chunk, real = pending.popleft()
+            try:
+                if dev is None:
+                    raise RuntimeError("dispatch failed")
+                out = self.pipe.finalize_extended(dev)
+            except Exception as e:
+                # async errors surface here; re-run the batch with the
+                # synchronous retry loop (per-segment fault tolerance)
+                logger.warning(
+                    "async segment batch failed (%s); retrying", e
+                )
+                out = self._run_with_retry(
+                    lambda: self.pipe.run_extended(x_ext)
+                )
             for s in range(real):
-                done_records.append(self._persist_segment(out, s, chunk[s][1]))
-        return done_records
+                futures.append(
+                    writer.submit(self._persist_segment, out, s, chunk[s][1])
+                )
+
+        with ThreadPoolExecutor(max_workers=1) as writer:
+            try:
+                for chunk, real in chunks:
+                    x_ext = self.pipe.extend_segments(
+                        st.data, [off for off, _ in chunk]
+                    )
+                    try:
+                        dev = self.pipe.run_extended_async(x_ext)
+                    except Exception as e:
+                        logger.warning("segment dispatch failed: %s", e)
+                        dev = None
+                    pending.append((dev, x_ext, chunk, real))
+                    if len(pending) >= max(1, int(dispatch_depth)):
+                        drain_one(writer)
+                while pending:
+                    drain_one(writer)
+            finally:
+                done = [f.result() for f in futures]
+        return done
 
     def _run_with_retry(self, fn):
         last = None

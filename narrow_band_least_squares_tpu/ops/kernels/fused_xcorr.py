@@ -81,6 +81,7 @@ def _kdot(a: jnp.ndarray, b: jnp.ndarray, precision) -> jnp.ndarray:
 def _fused_kernel(
     # inputs
     hop_ref,      # (Bg, 1) SMEM  int32 per-band hop [samples]
+    maxst_ref,    # (Bg, 1) SMEM  int32 last valid window start (T - Lb)
     lob_ref,      # (Bg, 1) SMEM  int32 first valid lag index per band
     hib_ref,      # (Bg, 1) SMEM  int32 last valid lag index per band
     y_ref,        # (1, C, Tp) VMEM  band row (T + slab padding)
@@ -114,7 +115,11 @@ def _fused_kernel(
         ones = jnp.ones((Lg, 1), jnp.float32)
         for w in range(Wt):
             start = (wt * Wt + w) * hop
-            start = jnp.minimum(start, T - Lg)
+            # clamp PADDED window slots to the band's true last valid
+            # start (T - Lb, via SMEM); clamping to the bucket-padded
+            # T - Lg would shift a mixed-length bucket's last real
+            # windows earlier and corrupt their tau/rho
+            start = jnp.minimum(start, maxst_ref[g, 0])
             # lane-dim dynamic slices must be 128-aligned: load an aligned
             # slab and rotate the sub-128 remainder into place
             base = pl.multiple_of((start // 128) * 128, 128)
@@ -196,6 +201,7 @@ def _fused_kernel(
 def fused_xcorr_bucket(
     y: jnp.ndarray,          # (Bg, C, T) filtered band rows
     hop: jnp.ndarray,        # (Bg, 1) int32
+    maxstart: jnp.ndarray,   # (Bg, 1) int32 last valid window start
     lo: jnp.ndarray,         # (Bg, 1) int32 first valid lag index
     hi: jnp.ndarray,         # (Bg, 1) int32 last valid lag index
     len_mask: jnp.ndarray,   # (Bg, Lg)
@@ -241,6 +247,7 @@ def fused_xcorr_bucket(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),             # hop
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # maxstart
             pl.BlockSpec(memory_space=pltpu.SMEM),             # lo
             pl.BlockSpec(memory_space=pltpu.SMEM),             # hi
             pl.BlockSpec((1, C, Tp), lambda g, w, k: (g, 0, 0)),
@@ -275,7 +282,7 @@ def fused_xcorr_bucket(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(hop, lo, hi, y, len_mask, cf, sf, ec, es, sbi, sbj)
+    )(hop, maxstart, lo, hi, y, len_mask, cf, sf, ec, es, sbi, sbj)
     rho = rho.reshape(Bg, Wp, P)
     idx = idx.reshape(Bg, Wp, P)
     return rho, idx

@@ -585,13 +585,38 @@ class ShardedNarrowBandPipeline:
         inv = self._band_inv_perm
         return {k: v[:, inv] for k, v in out.items()}
 
+    def _require_mesh(self):
+        if self.mesh is None:
+            raise RuntimeError(
+                "this pipeline was built with mesh=None (virtual mesh: "
+                "host precomputation + run_reference_sequential only); "
+                "pass a real jax.sharding.Mesh to execute run()/"
+                "run_extended()/StreamingMonitor"
+            )
+
     def run_extended(self, x_ext: np.ndarray) -> Dict[str, np.ndarray]:
         """Execute on host-extended segments (S, C, halo+Tseg); S % nt == 0."""
+        return self.finalize_extended(self.run_extended_async(x_ext))
+
+    def run_extended_async(self, x_ext: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Dispatch `run_extended` without blocking on the result.
+
+        Returns the device-array dict (JAX dispatch is asynchronous); call
+        `finalize_extended` to block and convert.  Lets a caller overlap
+        the next batch's host prep / this batch's persist with device
+        compute (models.streaming.StreamingMonitor's double-buffering).
+        """
+        self._require_mesh()
         x = jax.device_put(
             np.asarray(x_ext, dtype=np.dtype(self.dtype)),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
-        out = self._step_ext(x, self._consts)
+        return self._step_ext(x, self._consts)
+
+    def finalize_extended(
+        self, out: Dict[str, jnp.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """Block on a `run_extended_async` result and convert to host."""
         return self._unpermute_bands({k: _to_host(v) for k, v in out.items()})
 
     # ------------------------------------------------------------------
@@ -617,6 +642,7 @@ class ShardedNarrowBandPipeline:
         Results: vel/baz/mdccm/sig_tau/... of shape (S, B, Wmax) plus flags
         (S, B, Wmax, P) in LTS mode.
         """
+        self._require_mesh()
         x = jax.device_put(
             np.asarray(segments, dtype=np.dtype(self.dtype)),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),

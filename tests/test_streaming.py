@@ -89,19 +89,25 @@ def test_retry_on_transient_failure(monitor_setup, tmp_path, monkeypatch):
         mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
         alpha=1.0, max_retries=1,
     )
-    calls = {"n": 0}
-    real = mon2.pipe.run_extended
+    calls = {"async": 0, "sync": 0}
+    real_async = mon2.pipe.run_extended_async
+    real_sync = mon2.pipe.run_extended
 
-    def flaky(x_ext):
-        calls["n"] += 1
-        if calls["n"] == 1:
+    def flaky_async(x_ext):
+        calls["async"] += 1
+        if calls["async"] == 1:
             raise RuntimeError("transient device error")
-        return real(x_ext)
+        return real_async(x_ext)
 
-    monkeypatch.setattr(mon2.pipe, "run_extended", flaky)
+    def counted_sync(x_ext):
+        calls["sync"] += 1
+        return real_sync(x_ext)
+
+    monkeypatch.setattr(mon2.pipe, "run_extended_async", flaky_async)
+    monkeypatch.setattr(mon2.pipe, "run_extended", counted_sync)
     recs = mon2.process(st)
     assert len(recs) == 5
-    assert calls["n"] >= 2  # first call failed, retry succeeded
+    assert calls["sync"] == 1  # the failed batch re-ran synchronously
 
 
 def test_retry_exhaustion_raises(monitor_setup, tmp_path, monkeypatch):
@@ -117,6 +123,7 @@ def test_retry_exhaustion_raises(monitor_setup, tmp_path, monkeypatch):
     def always_fail(x_ext):
         raise RuntimeError("persistent device error")
 
+    monkeypatch.setattr(mon2.pipe, "run_extended_async", always_fail)
     monkeypatch.setattr(mon2.pipe, "run_extended", always_fail)
     with _pytest.raises(RuntimeError, match="persistent"):
         mon2.process(st)

@@ -368,6 +368,46 @@ class TestFusedMegakernel:
             np.asarray(rm["mdccm"]), np.asarray(rf["mdccm"]), atol=2e-5,
         )
 
+    def test_mixed_length_bucket_last_windows(self):
+        """Regression (ADVICE r3): in a bucket mixing window lengths, a
+        shorter band's last valid windows start inside (T-Lg, T-Lb]; the
+        kernel must clamp padded slots per band (T - Lb), not to the
+        bucket template (T - Lg), or those real windows shift earlier."""
+        from narrow_band_least_squares_tpu.io.synthetic import (
+            synthetic_plane_wave,
+        )
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+        from narrow_band_least_squares_tpu.utils.geometry import get_rij
+        from narrow_band_least_squares_tpu.utils.plan import make_plan
+
+        st = synthetic_plane_wave(
+            nchans=5, duration_s=300, fs=10.0, baz_deg=200.0,
+            trace_vel_kms=0.33, f0=0.6, bandwidth=0.8, snr=10, seed=3,
+        )
+        freqlist = [0.3, 0.7, 1.4]
+        plan = make_plan(freqlist, "linear", [30, 29], 0.95, st.npts, st.fs)
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        kw = dict(filter_type="cheby1", alpha=1.0, bucket_slack=4.0)
+        pf = NarrowBandPipeline(plan, rij, xcorr_method="fused", **kw)
+        # self-check the fixture really exercises the edge: one mixed
+        # bucket, and the short band's last start falls past T - Lg
+        assert len(pf._fused_buckets) == 1
+        Lg = max(wp.winlensamp for wp in plan.windows)
+        short = min(range(2), key=lambda b: plan.windows[b].winlensamp)
+        wp = plan.windows[short]
+        assert wp.winlensamp < Lg
+        assert wp.starts[-1] > plan.npts - Lg
+        pm = NarrowBandPipeline(plan, rij, **kw)
+        rm, rf = pm.run_raw(st.data), pf.run_raw(st.data)
+        np.testing.assert_allclose(
+            np.asarray(rm["vel"]), np.asarray(rf["vel"]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rm["mdccm"]), np.asarray(rf["mdccm"]), atol=2e-5,
+        )
+
     def test_multiarray_merge(self, workload):
         from narrow_band_least_squares_tpu.models.narrowband import (
             NarrowBandPipeline,
