@@ -154,12 +154,21 @@ def ltsva(
     WINOVER: float,
     ALPHA: float = 1.0,
     plot_array_coordinates: bool = False,
+    conf: float = None,
 ):
     """Least-squares / LTS array processing of a pre-filtered stream.
 
     8-tuple contract of the vendored solver as called at reference
     ``example.py:109`` and ``narrow_band_least_squares.py:91,183``:
     ``(vel, baz, t, mdccm, stdict, sig_tau, vel_uncert, baz_uncert)``.
+
+    ``conf`` selects the uncertainty convention: ``None`` (default)
+    returns the pipeline's 1-sigma linearized vel/baz uncertainties
+    (PARITY.md); a confidence level (e.g. ``0.90``) returns the
+    Szuberla & Olson 2004 slowness-plane chi-square-ellipse confidence
+    intervals the vendored ``lts_array`` solver reports
+    (ops.solve.chi2_ellipse_uncertainties).  The narrow-band wrappers
+    discard both (reference ``narrow_band_least_squares.py:91-98``).
     """
     rij = get_rij(list(lat_list), list(lon_list), st.nchans)
     plan = make_plan([0.0, st.fs / 2], "linear", [WINLEN], WINOVER, st.npts, st.fs)
@@ -173,6 +182,14 @@ def ltsva(
     sig_tau = res.sig_tau_array[0, :n]
     vel_uncert = res.vel_uncert_array[0, :n]
     baz_uncert = res.baz_uncert_array[0, :n]
+    if conf is not None:
+        from narrow_band_least_squares_tpu.ops.solve import (
+            chi2_ellipse_uncertainties,
+        )
+        XtX_inv = np.linalg.inv(pipe.X64.T @ pipe.X64)
+        vel_uncert, baz_uncert = chi2_ellipse_uncertainties(
+            vel, baz, sig_tau, XtX_inv, conf=conf,
+        )
     stdict = None
     if ALPHA < 1.0:
         stdict = flags_to_stdict(

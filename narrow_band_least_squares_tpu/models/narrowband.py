@@ -137,7 +137,7 @@ class NarrowBandPipeline:
         dtype=jnp.float32,
         c_steps: int = 4,
         taper_percentage: float = 0.01,
-        max_lts_candidates: int = 4096,
+        max_lts_candidates: int = 0,   # 0 = all C(P,2); >0 subsamples
         xcorr_method: str = "mxu",   # 'mxu' (DFT-as-matmul) | 'fft' |
         #   'pallas' (fused icorr+argmax) | 'fused' (pallas megakernel:
         #   extract+spectra+xcorr+argmax all VMEM-resident, SURVEY §7.1)
@@ -204,6 +204,11 @@ class NarrowBandPipeline:
             self._Ainv = jnp.asarray(cinfo["Ainv"], dtype)
             self._cand_ok = jnp.asarray(cinfo["ok"])
             self.h = LTS.lts_h(self.alpha, X.shape[0])
+            # full enumeration is the default; for large arrays bound the
+            # (B, W, Q, ...) sweep memory by chunking the candidate axis
+            # (identical results) instead of dropping candidates
+            if not self.lts_candidate_chunk and len(cinfo["cand"]) > 4096:
+                self.lts_candidate_chunk = 4096
 
         # ---- filter bank (host design) ----
         self.zerophase = filter_type == "butter"

@@ -39,16 +39,21 @@ def lts_h(alpha: float, P: int) -> int:
 
 
 def precompute_candidates(
-    X: np.ndarray, max_candidates: int = 4096, seed: int = 0
+    X: np.ndarray, max_candidates: int = 0, seed: int = 0
 ) -> Dict[str, np.ndarray]:
     """Host-side elemental 2-subset enumeration and 2x2 inverses.
 
-    For large arrays (P > ~90) the full C(P,2) enumeration is subsampled to
-    ``max_candidates`` with a fixed-seed RNG (deterministic across runs).
+    ``max_candidates = 0`` (the default) enumerates ALL C(P,2) elemental
+    2-subsets — exhaustive LTS; callers bound device memory with
+    ``candidate_chunk`` instead of dropping candidates.  ``> 0`` subsamples
+    to that many with a fixed-seed RNG (deterministic across runs); on the
+    P=66/P=120 test geometries the 4096-candidate subsample reproduces the
+    full enumeration's flags exactly (tests/test_large_array.py), but full
+    is the default so the optimum's basin can never be missed.
     """
     P = X.shape[0]
     cand = np.array(list(combinations(range(P), 2)), dtype=np.int32)
-    if len(cand) > max_candidates:
+    if max_candidates and len(cand) > max_candidates:
         rng = np.random.default_rng(seed)
         keep = rng.choice(len(cand), size=max_candidates, replace=False)
         keep.sort()

@@ -83,6 +83,56 @@ def uncertainties(
     )
 
 
+def chi2_ellipse_uncertainties(
+    vel: np.ndarray,         # (...) trace velocity [km/s]
+    baz: np.ndarray,         # (...) back-azimuth [deg]
+    sig_tau: np.ndarray,     # (...) delay-residual RMS [s]
+    XtX_inv: np.ndarray,     # (2, 2) co-array normal-matrix inverse
+    conf: float = 0.90,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Szuberla & Olson (2004) slowness-plane confidence-ellipse intervals.
+
+    The (1 - conf) confidence region of the slowness estimate is the
+    ellipse ``{ds : ds^T C^-1 ds <= 1}`` with
+    ``C = chi2_ppf(conf, 2) * sig_tau^2 * (X^T X)^-1`` (two slowness
+    parameters; chi2_ppf(q, 2) = -2 ln(1 - q) in closed form).  The
+    velocity interval comes from the ellipse's radial extent
+    (support-function half-width along s-hat: ``d_r = sqrt(r^T C r)``,
+    so v in [1/(|s|+d_r), 1/(|s|-d_r)]), the back-azimuth interval from
+    its angular extent seen from the origin (``arcsin(d_t / |s|)`` with
+    the tangential half-width).  Reference contract: the vendored
+    ``lts_array.ltsva`` returns these CIs (SURVEY §3.4); the pipeline's
+    own vel_uncert/baz_uncert are the 1-sigma linearized versions, which
+    this function reduces to (times the chi2 scale) for small ellipses.
+    Host-side numpy — CIs are an API-boundary product.
+    """
+    vel = np.asarray(vel, dtype=np.float64)
+    baz = np.asarray(baz, dtype=np.float64)
+    sig_tau = np.asarray(sig_tau, dtype=np.float64)
+    k = -2.0 * np.log1p(-float(conf))          # chi2.ppf(conf, 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        smag = np.where(vel > 0, 1.0 / np.maximum(vel, 1e-30), np.inf)
+    az = np.radians(baz)
+    # s = -|s| (sin az, cos az); u = radial unit vector, t = tangential
+    ux, uy = -np.sin(az), -np.cos(az)
+    tx, ty = -uy, ux
+    a, b_, c = XtX_inv[0, 0], XtX_inv[0, 1], XtX_inv[1, 1]
+    C_scale = k * sig_tau * sig_tau
+    d_r = np.sqrt(
+        np.maximum(C_scale * (a * ux * ux + 2 * b_ * ux * uy + c * uy * uy), 0.0)
+    )
+    d_t = np.sqrt(
+        np.maximum(C_scale * (a * tx * tx + 2 * b_ * tx * ty + c * ty * ty), 0.0)
+    )
+    lo = 1.0 / (smag + d_r)
+    hi = np.where(smag > d_r, 1.0 / np.maximum(smag - d_r, 1e-30), np.inf)
+    vel_ci = 0.5 * (hi - lo)                   # half-width of the interval
+    with np.errstate(invalid="ignore"):
+        baz_ci = np.degrees(np.arcsin(np.clip(d_t / smag, 0.0, 1.0)))
+    baz_ci = np.where(d_t >= smag, 180.0, baz_ci)  # ellipse encloses origin
+    return vel_ci, baz_ci
+
+
 def tree_sum_last(x: jnp.ndarray) -> jnp.ndarray:
     """Sum over the last axis as a fixed halving tree of binary adds.
 

@@ -123,7 +123,7 @@ class ShardedNarrowBandPipeline:
         bucket_bands: bool = True,
         bucket_ratio: float = 1.3,
         bucket_slack: float = 1.08,
-        max_lts_candidates: int = 4096,
+        max_lts_candidates: int = 0,
         mesh_shape: Optional[Tuple[int, int]] = None,
     ):
         self.mesh = mesh

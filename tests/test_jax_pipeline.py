@@ -69,6 +69,30 @@ class TestLtsvaParity:
         assert np.median(np.abs(sig_g - sig_o)) < 5e-3
         assert np.median(np.abs(vu_g - vu_o)) < 5e-3
 
+    def test_chi2_ellipse_confidence_intervals(self, small_stream):
+        """ltsva(conf=...) returns Szuberla & Olson chi2-ellipse CIs: for
+        small ellipses they reduce to the linearized 1-sigma values scaled
+        by sqrt(chi2_ppf(conf, 2)), and they grow with conf."""
+        st = small_stream
+        filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)
+        stf = st.copy()
+        stf.data = filt
+        args = (stf, st.latitudes, st.longitudes, 30.0, 0.5, 1.0)
+        _, _, _, mdccm, _, _, vu_lin, bu_lin = api.ltsva(*args)
+        _, _, _, _, _, _, vu90, bu90 = api.ltsva(*args, conf=0.90)
+        _, _, _, _, _, _, vu99, bu99 = api.ltsva(*args, conf=0.99)
+        good = mdccm > 0.6
+        assert good.sum() > 3
+        # monotone in confidence level
+        assert np.all(vu99[good] >= vu90[good])
+        assert np.all(bu99[good] >= bu90[good])
+        # small-ellipse limit: chi2 CI ~= sqrt(-2 ln(1-conf)) * 1-sigma
+        k = np.sqrt(-2.0 * np.log1p(-0.90))
+        ratio = bu90[good] / np.maximum(bu_lin[good], 1e-12)
+        assert np.median(np.abs(ratio - k)) < 0.2
+        rv = vu90[good] / np.maximum(vu_lin[good], 1e-12)
+        assert np.median(np.abs(rv - k)) < 0.35   # radial interval is asymmetric
+
     def test_lts_flags_match_oracle(self, outlier_stream):
         st = outlier_stream
         filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)

@@ -125,6 +125,27 @@ class TestP120Subsampled:
         )
         assert counts.argmax() == 11
 
+    def test_full_enumeration_is_default(self):
+        _, plan, rij = _build(16)
+        pipe = NarrowBandPipeline(plan, rij, alpha=0.75)
+        assert pipe._cand.shape[0] == 7140          # all C(120,2)
+        assert pipe.lts_candidate_chunk == 4096     # auto memory bound
+
+    def test_subsampled_matches_full_enumeration(self):
+        """VERDICT r3 item 5: measure the 4096-candidate subsample against
+        the full 7140-candidate enumeration at P=120.  The C-steps converge
+        to the same optimum from many elemental starts, so flags and
+        solutions must agree exactly on this geometry."""
+        st, plan, rij = _build(16, outliers=(11,), duration_s=120.0)
+        full = NarrowBandPipeline(plan, rij, alpha=0.75)
+        sub = NarrowBandPipeline(plan, rij, alpha=0.75,
+                                 max_lts_candidates=4096)
+        a = {k: np.asarray(v) for k, v in full.run_raw(st.data).items()}
+        b = {k: np.asarray(v) for k, v in sub.run_raw(st.data).items()}
+        assert (a["flags"] == b["flags"]).all()
+        np.testing.assert_array_equal(a["vel"], b["vel"])
+        np.testing.assert_array_equal(a["baz"], b["baz"])
+
     def test_run_to_run_determinism(self):
         st, plan, rij = _build(16, outliers=(11,), duration_s=120.0)
         kw = dict(alpha=0.75, max_lts_candidates=2048,

@@ -74,8 +74,10 @@ class TestShardedEqualsSequential:
         sharded = pipe.run(segs)
         seq = pipe.run_reference_sequential(segs)
         np.testing.assert_allclose(sharded["vel"], seq["vel"], rtol=1e-4, atol=1e-4)
-        # flag tensors identical
-        assert (sharded["flags"] == seq["flags"]).mean() > 0.999
+        # flag tensors EXACTLY identical: tau is integer-derived and the
+        # candidate sweep sits behind optimization barriers, so the LTS
+        # selections are program-shape independent (ops/lts.py:178)
+        assert (sharded["flags"] == seq["flags"]).all()
 
     def test_time_only_mesh(self, long_stream):
         pipe, segs = _build(long_stream, alpha=1.0, nt=8, nb=1)
