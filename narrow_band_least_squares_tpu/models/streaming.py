@@ -128,10 +128,25 @@ class StreamingMonitor:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        todo = [
-            (off, t0) for off, t0 in self.segment_starts(st)
-            if not (resume and self._seg_done(t0))
-        ]
+        import jax
+
+        # Multi-process (jax.distributed): every process must execute the
+        # same batches (the step and the final assembly are collectives),
+        # so the resume scan is decided by process 0 and broadcast; only
+        # process 0 persists (shared- and per-host-FS safe).
+        multiproc = jax.process_count() > 1
+        writer = jax.process_index() == 0
+        starts = self.segment_starts(st)
+        mask = np.array(
+            [0 if (resume and self._seg_done(t0)) else 1
+             for _, t0 in starts],
+            dtype=np.int32,
+        )
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            mask = np.asarray(multihost_utils.broadcast_one_to_all(mask))
+        todo = [s for s, m in zip(starts, mask) if m]
         if not todo:
             return []
 
@@ -149,7 +164,7 @@ class StreamingMonitor:
         futures = []
         pending = deque()   # (device_out | None, x_ext, chunk, real)
 
-        def drain_one(writer):
+        def drain_one(pool):
             dev, x_ext, chunk, real = pending.popleft()
             try:
                 if dev is None:
@@ -164,12 +179,13 @@ class StreamingMonitor:
                 out = self._run_with_retry(
                     lambda: self.pipe.run_extended(x_ext)
                 )
-            for s in range(real):
-                futures.append(
-                    writer.submit(self._persist_segment, out, s, chunk[s][1])
-                )
+            if writer:
+                for s in range(real):
+                    futures.append(
+                        pool.submit(self._persist_segment, out, s, chunk[s][1])
+                    )
 
-        with ThreadPoolExecutor(max_workers=1) as writer:
+        with ThreadPoolExecutor(max_workers=1) as pool:
             try:
                 for chunk, real in chunks:
                     x_ext = self.pipe.extend_segments(
@@ -182,9 +198,9 @@ class StreamingMonitor:
                         dev = None
                     pending.append((dev, x_ext, chunk, real))
                     if len(pending) >= max(1, int(dispatch_depth)):
-                        drain_one(writer)
+                        drain_one(pool)
                 while pending:
-                    drain_one(writer)
+                    drain_one(pool)
             finally:
                 done = [f.result() for f in futures]
         return done
