@@ -27,17 +27,32 @@ TIME_AXIS = "time"
 BAND_AXIS = "band"
 
 
-def auto_mesh_shape(n_devices: int, nbands: Optional[int] = None) -> Tuple[int, int]:
+def auto_mesh_shape(
+    n_devices: int, nbands: Optional[int] = None,
+    min_bands_per_shard: int = 6,
+) -> Tuple[int, int]:
     """Pick (time_shards, band_shards) for n devices.
 
-    Prefers band sharding up to the band count (zero-communication), then
-    time sharding (halo-only communication).
+    Band sharding is zero-communication but pays slot-template padding:
+    an SPMD band shard runs one program whose per-slot shapes are the max
+    over the ``nb`` bands dealt to that slot, so the padding tracks the
+    window-length spread of ``nb`` consecutive sorted lengths.  With few
+    bands per shard that spread is large (measured v5e, canonical 8
+    bands: +6.8% at nb=2, +24% at nb=4 per chip —
+    BENCH_SHARDED_PARITY.json), while time sharding costs only the halo
+    ppermute (~50 KB/step) and the halo samples in the filter FFT.  So:
+    prefer the largest band-shard count that keeps at least
+    ``min_bands_per_shard`` bands per shard (dense sweeps), else shard
+    time (the canonical 8-band workload on 8 devices -> (8, 1)).
     """
     nb = 1
     if nbands:
-        # largest divisor of n_devices that divides nbands
         for cand in range(min(n_devices, nbands), 0, -1):
-            if n_devices % cand == 0 and nbands % cand == 0:
+            if (
+                n_devices % cand == 0
+                and nbands % cand == 0
+                and (cand == 1 or nbands // cand >= min_bands_per_shard)
+            ):
                 nb = cand
                 break
     nt = n_devices // nb

@@ -53,9 +53,14 @@ def test_devices_available():
 
 
 def test_auto_mesh_shape():
-    assert auto_mesh_shape(8, nbands=4) == (2, 4)
+    # dense sweeps: band-shard as long as >= 6 bands stay per shard
+    assert auto_mesh_shape(8, nbands=48) == (1, 8)
+    assert auto_mesh_shape(8, nbands=50) == (4, 2)
+    # few bands per shard pads slot templates -> prefer time sharding
+    assert auto_mesh_shape(8, nbands=4) == (8, 1)
     assert auto_mesh_shape(8, nbands=3) == (8, 1)
-    assert auto_mesh_shape(4, nbands=8) == (1, 4)
+    assert auto_mesh_shape(4, nbands=8) == (4, 1)
+    assert auto_mesh_shape(4, nbands=24) == (1, 4)
 
 
 class TestShardedEqualsSequential:
