@@ -1,0 +1,225 @@
+"""Earthworm WaveServerV / Winston wave-server acquisition (stdlib TCP).
+
+Closes the non-FDSN half of the reference's L0 contract: the vendored
+``waveform_collection.gather_waveforms(SOURCE, ...)`` (reference
+``example.py:16,91``) also speaks Earthworm/Winston wave servers (the AVO
+deployment), not only FDSN.  This module is a dependency-free client for
+the WaveServerV ASCII/binary protocol that both server families answer:
+
+    MENU: <id> SCNL\\n                      -> one line per channel
+    GETSCNLRAW: <id> S C N L <t0> <t1>\\n   -> ASCII header + TraceBuf2 bytes
+
+TraceBuf2 packets carry a 64-byte header (pin, nsamp, start/end epoch,
+sample rate, SCNL, datatype) followed by samples; datatype 'i'/'s'
+prefixes select little/big endian, suffix 2/4 the integer width ('f4'/
+'t4' are floats).  Packets are concatenated on a common time base with
+gap zero-fill, exactly like the FDSN path merges miniSEED records.
+
+Wave servers carry no station coordinates or responses; callers supply a
+``coordinates`` mapping (station -> (lat, lon)) or a ``metadata_source``
+FDSN service that is queried for coordinates only (io.fdsn.parse_station_text).
+Counts are returned as-is (``remove_response`` is not available from a
+bare wave server; deconvolve with io.response against a local StationXML).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from narrow_band_least_squares_tpu.io.stream import ArrayStream
+from narrow_band_least_squares_tpu.utils.timeutils import parse_utc
+
+_TB2_HEADER = 64
+
+_DTYPES = {
+    b"i2": "<i2", b"i4": "<i4", b"i8": "<i8",
+    b"s2": ">i2", b"s4": ">i4", b"s8": ">i8",
+    b"f4": "<f4", b"f8": "<f8",
+    b"t4": ">f4", b"t8": ">f8",
+}
+
+
+def parse_tracebuf2(buf: bytes) -> List[dict]:
+    """Concatenated TraceBuf2 packets -> list of sample blocks."""
+    out = []
+    off = 0
+    n = len(buf)
+    while off + _TB2_HEADER <= n:
+        # datatype at bytes 57:60 decides the header's own byte order
+        dt_raw = buf[off + 57 : off + 60].split(b"\x00")[0]
+        dt = _DTYPES.get(dt_raw)
+        if dt is None:
+            raise ValueError(f"unknown tracebuf2 datatype {dt_raw!r}")
+        bo = dt[0]
+        pin, nsamp = struct.unpack_from(bo + "ii", buf, off)
+        t0, t1, rate = struct.unpack_from(bo + "ddd", buf, off + 8)
+        sta = buf[off + 32 : off + 39].split(b"\x00")[0].decode()
+        net = buf[off + 39 : off + 48].split(b"\x00")[0].decode()
+        chan = buf[off + 48 : off + 52].split(b"\x00")[0].decode()
+        loc = buf[off + 52 : off + 55].split(b"\x00")[0].decode()
+        width = int(dt[2])
+        data = np.frombuffer(
+            buf, dtype=dt, count=nsamp, offset=off + _TB2_HEADER
+        ).astype(np.float64)
+        out.append({
+            "sta": sta, "net": net, "chan": chan, "loc": loc,
+            "start": t0, "rate": rate, "data": data,
+        })
+        off += _TB2_HEADER + nsamp * width
+    return out
+
+
+class EarthwormClient:
+    """Minimal WaveServerV / Winston client (one TCP round trip per call)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        self.host = host
+        self.port = int(port)
+        self.timeout = timeout
+
+    # -- wire helpers ---------------------------------------------------
+    def _roundtrip(self, request: str, binary_len_from_header=None) -> Tuple[str, bytes]:
+        """Send one request line; read the ASCII header line (+ binary)."""
+        with socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        ) as sk:
+            sk.sendall(request.encode())
+            header = b""
+            while not header.endswith(b"\n"):
+                c = sk.recv(1)
+                if not c:
+                    break
+                header += c
+            head = header.decode().strip()
+            payload = b""
+            nbytes = binary_len_from_header(head) if binary_len_from_header else 0
+            while len(payload) < nbytes:
+                chunk = sk.recv(min(65536, nbytes - len(payload)))
+                if not chunk:
+                    break
+                payload += chunk
+            return head, payload
+
+    # -- protocol -------------------------------------------------------
+    def menu(self) -> List[Dict[str, str]]:
+        """Available channels: list of {sta, chan, net, loc, start, end}."""
+        head, _ = self._roundtrip("MENU: 0 SCNL\n")
+        toks = head.split()
+        out = []
+        # response: "<id>  <pin> S C N L <start> <end> <datatype>  ..."
+        i = 1
+        while i + 7 <= len(toks):
+            out.append({
+                "sta": toks[i + 1], "chan": toks[i + 2],
+                "net": toks[i + 3], "loc": toks[i + 4],
+                "start": float(toks[i + 5]), "end": float(toks[i + 6]),
+            })
+            i += 8
+        return out
+
+    def get_scnl_raw(
+        self, sta: str, chan: str, net: str, loc: str,
+        t0: float, t1: float,
+    ) -> List[dict]:
+        """GETSCNLRAW one channel; returns parsed tracebuf2 blocks."""
+        req = f"GETSCNLRAW: 0 {sta} {chan} {net} {loc or '--'} {t0:.4f} {t1:.4f}\n"
+
+        def nbytes(head: str) -> int:
+            # "<id> <pin> S C N L F <dtype> <start> <nbytes>"
+            toks = head.split()
+            if len(toks) >= 9 and toks[6].startswith("F") and len(toks[6]) == 1:
+                return int(toks[-1])
+            return 0      # FL/FR/FG/FN: gap, out of range, or no data
+
+        head, payload = self._roundtrip(req, binary_len_from_header=nbytes)
+        if not payload:
+            return []
+        return parse_tracebuf2(payload)
+
+
+def _assemble(blocks: List[dict], t0: float, t1: float) -> Tuple[np.ndarray, float]:
+    """Tracebuf2 blocks of ONE channel -> zero-filled common time base."""
+    rate = blocks[0]["rate"]
+    npts = int(round((t1 - t0) * rate))
+    out = np.zeros(npts, dtype=np.float64)
+    for b in blocks:
+        if abs(b["rate"] - rate) > 1e-6:
+            raise ValueError("sample-rate change inside request window")
+        i0 = int(round((b["start"] - t0) * rate))
+        d = b["data"]
+        lo = max(i0, 0)
+        hi = min(i0 + len(d), npts)
+        if hi > lo:
+            out[lo:hi] = d[lo - i0 : hi - i0]
+    return out, rate
+
+
+def gather_waveforms_earthworm(
+    host: str,
+    port: int,
+    network: str,
+    station_list: Sequence[str],
+    location: str,
+    channel: str,
+    starttime,
+    endtime,
+    coordinates: Optional[Dict[str, Tuple[float, float]]] = None,
+    metadata_source: Optional[str] = None,
+    timeout: float = 30.0,
+    client: Optional[EarthwormClient] = None,
+) -> ArrayStream:
+    """Fetch one array's channels from a wave server into an ArrayStream.
+
+    ``station_list`` enumerates the array elements explicitly (wave
+    servers have no wildcard queries; use ``EarthwormClient.menu()`` to
+    discover).  Coordinates come from ``coordinates`` (station -> (lat,
+    lon)) or an FDSN ``metadata_source`` station query (text format).
+    """
+    t0 = parse_utc(starttime)
+    t1 = parse_utc(endtime)
+    cl = client or EarthwormClient(host, port, timeout=timeout)
+
+    coords = dict(coordinates or {})
+    if not coords and metadata_source:
+        from narrow_band_least_squares_tpu.io.fdsn import (
+            _http_get, parse_station_text, station_url,
+        )
+        text = _http_get(station_url(
+            metadata_source, network, ",".join(station_list), location,
+            channel, t0, t1,
+        )).decode()
+        for ci in parse_station_text(text):
+            sta = ci.sid.split(".")[1]
+            coords.setdefault(sta, (ci.latitude, ci.longitude))
+
+    rows, lats, lons, ids = [], [], [], []
+    rate0 = None
+    for sta in station_list:
+        blocks = cl.get_scnl_raw(sta, channel, network, location, t0, t1)
+        if not blocks:
+            raise RuntimeError(
+                f"wave server returned no data for "
+                f"{network}.{sta}.{location}.{channel}"
+            )
+        row, rate = _assemble(blocks, t0, t1)
+        if rate0 is None:
+            rate0 = rate
+        elif abs(rate - rate0) > 1e-6:
+            raise ValueError("mixed sample rates across array elements")
+        if sta not in coords:
+            raise ValueError(
+                f"no coordinates for station {sta}: pass coordinates= or "
+                f"metadata_source="
+            )
+        rows.append(row)
+        lats.append(coords[sta][0])
+        lons.append(coords[sta][1])
+        ids.append(f"{network}.{sta}.{location}.{channel}")
+    return ArrayStream(
+        data=np.stack(rows), fs=float(rate0), start_epoch=t0,
+        latitudes=lats, longitudes=lons, ids=ids,
+    )

@@ -14,12 +14,15 @@ compute path needs it).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field, replace
 from typing import List, Optional
 
 import numpy as np
 
 from narrow_band_least_squares_tpu.utils.timeutils import parse_utc
+
+logger = logging.getLogger("nbls_tpu.io")
 
 
 @dataclass
@@ -169,19 +172,53 @@ def gather_waveforms(
     endtime,
     remove_response: bool = True,
     cache: Optional[str] = None,
+    **earthworm_kwargs,
 ) -> ArrayStream:
-    """Fetch waveforms + coordinates from an FDSN service into an ArrayStream.
+    """Fetch waveforms + coordinates into an ArrayStream.
 
     Parity wrapper for the vendored ``waveform_collection.gather_waveforms``
-    contract (reference ``example.py:91``): merges channels to a common time
-    base, removes the instrument response when requested, and attaches
-    per-element coordinates.  Requires ObsPy (optional dependency); if a
-    ``cache`` .npz path exists, it is loaded instead of hitting the network.
+    contract (reference ``example.py:91``), which speaks both FDSN services
+    and Earthworm/Winston wave servers.  ``source`` selects the backend:
+
+    - FDSN service name or URL (e.g. ``'IRIS'``): merges channels to a
+      common time base, removes the instrument response when requested,
+      and attaches per-element coordinates (ObsPy if available, stdlib
+      FDSN client otherwise).
+    - ``'ew://host:port'`` / ``'winston://host:port'``: WaveServerV
+      protocol (io.earthworm).  ``station`` is a comma-separated element
+      list; pass ``coordinates={sta: (lat, lon)}`` or
+      ``metadata_source='IRIS'`` for the geometry; ``remove_response`` is
+      unavailable from a bare wave server (counts are returned —
+      deconvolve via io.response against local StationXML).
+
+    If a ``cache`` .npz path exists, it is loaded instead of the network.
     """
     import os
 
     if cache and os.path.exists(cache):
         return ArrayStream.load_npz(cache)
+
+    low = source.lower()
+    if low.startswith(("ew://", "winston://", "waveserver://")):
+        from narrow_band_least_squares_tpu.io.earthworm import (
+            gather_waveforms_earthworm,
+        )
+
+        if remove_response:
+            logger.warning(
+                "wave servers carry no instrument responses; returning "
+                "counts (deconvolve via io.response + local StationXML)"
+            )
+        hostport = source.split("://", 1)[1]
+        host, port = hostport.rsplit(":", 1)
+        out = gather_waveforms_earthworm(
+            host, int(port), network,
+            [s for s in station.replace("*", "").split(",") if s],
+            location, channel, starttime, endtime, **earthworm_kwargs,
+        )
+        if cache:
+            out.save_npz(cache)
+        return out
 
     try:
         from obspy.clients.fdsn import Client  # type: ignore
