@@ -156,6 +156,11 @@ class NarrowBandPipeline:
         #   matmul; the running (max, argmax) across tiles keeps the
         #   (B, W, P, nlag) cc tensor out of HBM (0 = full materialization).
         #   Bit-identical tau/rho (ops.xcorr.cross_correlate_mxu).
+        band_limit_db: float = 0.0,      # >0 (e.g. 60): restrict the xcorr
+        #   DFT matmuls to bins where the band's filter response exceeds
+        #   -band_limit_db dB (ops.xcorr.band_limit_bins).  Opt-in
+        #   production mode: the dropped stopband bins bound the cc error
+        #   at the filter's stopband level; exact parity keeps all bins.
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -188,6 +193,7 @@ class NarrowBandPipeline:
         # them; very dense sweeps (hundreds of bands) pay compile time.
         self.xcorr_chunk_bytes = int(float(xcorr_chunk_mb) * 1e6)
         self.xcorr_lag_tile = int(xcorr_lag_tile)
+        self.band_limit_db = float(band_limit_db)
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -329,11 +335,30 @@ class NarrowBandPipeline:
                 })
             order = np.concatenate([g.band_idx for g in bgrids])
             self._bucket_inv_perm = np.argsort(order).astype(np.int32)
+        if self.band_limit_db > 0 and (
+            xcorr_method != "mxu" or self.sos_list is None
+        ):
+            logger.warning(
+                "band_limit_db needs xcorr_method='mxu' and an in-pipeline "
+                "filter bank (apply_filter=True); ignoring"
+            )
+            self.band_limit_db = 0.0
+
+        def _limit(tab, band_idx, nfft):
+            if self.band_limit_db <= 0:
+                return tab
+            kmin, kmax = XC.band_limit_bins(
+                self.sos_list, band_idx, nfft, plan.fs,
+                self.band_limit_db, zerophase=self.zerophase,
+            )
+            return XC.slice_tables_bins(tab, kmin, kmax)
+
         if xcorr_method in ("mxu", "pallas"):
             if xcorr_method == "mxu":
                 tab = XC.precompute_dft_tables(
                     grid.Lmax, dtype=np.dtype(dtype), max_lag=max_lag
                 )
+                tab = _limit(tab, range(plan.nbands), tab["nfft"])
             else:
                 tab = XC.precompute_pallas_tables(
                     grid.Lmax, grid.lengths, dtype=np.dtype(dtype),
@@ -359,6 +384,7 @@ class NarrowBandPipeline:
                         btab = XC.precompute_dft_tables(
                             g.Lmax, dtype=np.dtype(dtype), max_lag=bml,
                         )
+                        btab = _limit(btab, g.band_idx, btab["nfft"])
                     else:
                         btab = XC.precompute_pallas_tables(
                             g.Lmax, g.lengths, dtype=np.dtype(dtype),

@@ -60,6 +60,57 @@ def cross_correlate(
     return tau, rho, mdccm
 
 
+def band_limit_bins(
+    sos_list, band_idx, nfft: int, fs: float, limit_db: float,
+    zerophase: bool = False,
+) -> Tuple[int, int]:
+    """Contiguous DFT-bin range covering the bands' filter passbands.
+
+    Returns (kmin, kmax) such that every bin where ANY of the bands'
+    magnitude responses exceeds ``-limit_db`` dB of the group peak is
+    inside the range.  Used by the opt-in band-limited xcorr: a
+    bandpass-filtered signal's spectrum is concentrated in the passband,
+    so the forward/inverse DFT matmuls only need those rows — the
+    DFT-as-matmul form subsets bins for free, which an FFT cannot.
+    Low-frequency bands (the long-window, expensive ones) keep a few
+    percent of their bins at -60 dB; the dropped stopband bins carry the
+    filter's stopband leakage plus the rectangular-window truncation
+    sidelobes, which bounds the cc error at the same level.
+    """
+    from scipy import signal as _sig
+
+    K = nfft // 2 + 1
+    freqs = np.arange(K) * fs / nfft
+    mag = np.zeros(K)
+    for b in band_idx:
+        _, h = _sig.sosfreqz(sos_list[int(b)], worN=freqs, fs=fs)
+        m = np.abs(h)
+        if zerophase:
+            m = m * m
+        mag = np.maximum(mag, m)
+    thresh = mag.max() * 10.0 ** (-float(limit_db) / 20.0)
+    keep = np.flatnonzero(mag >= thresh)
+    if len(keep) == 0:
+        return 0, K - 1
+    return int(keep[0]), int(keep[-1])
+
+
+def slice_tables_bins(tab: Dict[str, np.ndarray], kmin: int, kmax: int
+                      ) -> Dict[str, np.ndarray]:
+    """Restrict DFT matmul tables to bin rows [kmin, kmax]."""
+    K = tab["Cf"].shape[1]
+    kmax = min(kmax, K - 1)
+    sl = slice(kmin, kmax + 1)
+    out = dict(tab)
+    out["Cf"] = tab["Cf"][:, sl]
+    out["Sf"] = tab["Sf"][:, sl]
+    out["Ec"] = tab["Ec"][sl]
+    out["Es"] = tab["Es"][sl]
+    if "E2" in tab:
+        out["E2"] = np.concatenate([out["Ec"], -out["Es"]], axis=0)
+    return out
+
+
 # --------------------------------------------------------------------------
 # MXU path: DFT-as-matmul cross-correlation
 # --------------------------------------------------------------------------
@@ -102,9 +153,15 @@ def precompute_dft_tables(Lmax: int, dtype=np.float32,
     ang_i = 2.0 * np.pi * np.arange(K)[:, None] * m / n
     Ec = (w / n) * np.cos(ang_i)
     Es = (w / n) * np.sin(ang_i)
+    # stacked inverse [Ec; -Es]: evaluates Re(CS).Ec - Im(CS).Es as ONE
+    # matmul over a 2K contraction when the cross-spectra ride stacked as
+    # [ReCS | ImCS] — half the kernel launches of the two-dot form at
+    # identical HBM traffic (cross_correlate_mxu)
+    E2 = np.concatenate([Ec, -Es], axis=0)          # (2K, nlag)
     return {
         "Cf": Cf.astype(dtype), "Sf": Sf.astype(dtype),
         "Ec": Ec.astype(dtype), "Es": Es.astype(dtype),
+        "E2": E2.astype(dtype),
         "nfft": n, "lag_min": int(lags[0]),
     }
 
@@ -158,18 +215,24 @@ def cross_correlate_mxu(
     P = pairs.shape[0]
     nlag = tables["Ec"].shape[-1]
     lag_min = tables.get("lag_min", -(Lmax - 1))
-    ReCS2 = ReCS.reshape(-1, K)
-    ImCS2 = ImCS.reshape(-1, K)
+    if "E2" in tables:
+        # stacked single-dot inverse (see precompute_dft_tables)
+        CS2 = jnp.concatenate([ReCS, ImCS], axis=-1).reshape(-1, 2 * K)
+        inv = lambda t0, t1: mm(CS2, tables["E2"][:, t0:t1], precision)
+    else:
+        ReCS2 = ReCS.reshape(-1, K)
+        ImCS2 = ImCS.reshape(-1, K)
+        inv = lambda t0, t1: (
+            mm(ReCS2, tables["Ec"][:, t0:t1], precision)
+            - mm(ImCS2, tables["Es"][:, t0:t1], precision)
+        )
 
     if lag_tile and lag_tile < nlag and not subsample:
         best_val = jnp.full((B, W, P), -jnp.inf, jnp.float32)
         best_idx = jnp.zeros((B, W, P), jnp.int32)
         for t0 in range(0, nlag, lag_tile):
             t1 = min(t0 + lag_tile, nlag)
-            cc_t = (
-                mm(ReCS2, tables["Ec"][:, t0:t1], precision)
-                - mm(ImCS2, tables["Es"][:, t0:t1], precision)
-            ).reshape(B, W, P, t1 - t0)
+            cc_t = inv(t0, t1).reshape(B, W, P, t1 - t0)
             cc_m = jnp.where(
                 lag_mask[:, None, None, t0:t1], cc_t, -jnp.inf
             )
@@ -182,10 +245,7 @@ def cross_correlate_mxu(
         k_idx = best_idx
         frac = 0.0
     else:
-        cc_lin = (
-            mm(ReCS2, tables["Ec"], precision)
-            - mm(ImCS2, tables["Es"], precision)
-        ).reshape(B, W, P, -1)                       # (B, W, P, nlag)
+        cc_lin = inv(0, nlag).reshape(B, W, P, -1)   # (B, W, P, nlag)
         mask = lag_mask[:, None, None, :]
         cc_masked = jnp.where(mask, cc_lin, -jnp.inf)
         k_idx = jnp.argmax(cc_masked, axis=-1)

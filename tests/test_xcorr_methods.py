@@ -424,3 +424,75 @@ class TestFusedMegakernel:
             np.asarray(rb["vel"][0]), np.asarray(r0["vel"]), atol=1e-5,
         )
 
+
+
+class TestBandLimitedXcorr:
+    """Opt-in DFT-bin restriction (band_limit_db): near-exact results at a
+    fraction of the spectra/cross-spectra/inverse matmul cost."""
+
+    def _workload(self):
+        from narrow_band_least_squares_tpu.io.synthetic import (
+            synthetic_plane_wave,
+        )
+        from narrow_band_least_squares_tpu.utils.geometry import get_rij
+        from narrow_band_least_squares_tpu.utils.plan import (
+            get_freqlist, get_winlenlist, make_plan,
+        )
+
+        st = synthetic_plane_wave(
+            nchans=6, duration_s=600, fs=20.0, baz_deg=230.0,
+            trace_vel_kms=0.34, f0=0.8, bandwidth=1.2, snr=8.0, seed=42,
+        )
+        freqlist, nbands, _ = get_freqlist(0.1, 5.0, "log", 8)
+        winlens = get_winlenlist("adaptive", nbands, 50, 60, 30)
+        plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        return st, plan, rij
+
+    def test_bins_shrink_for_low_bands(self):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = self._workload()
+        exact = NarrowBandPipeline(plan, rij, alpha=1.0)
+        lim = NarrowBandPipeline(plan, rij, alpha=1.0, band_limit_db=40.0)
+        # the longest-window bucket holds the lowest bands: its K must
+        # shrink hard (the 0.1-0.26 Hz bands need few of the ~Lmax bins)
+        k_full = exact._buckets[0]["tables"]["Cf"].shape[1]
+        k_lim = lim._buckets[0]["tables"]["Cf"].shape[1]
+        assert k_lim < 0.5 * k_full, (k_lim, k_full)
+
+    def test_results_match_exact_within_tolerance(self):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = self._workload()
+        exact = NarrowBandPipeline(plan, rij, alpha=1.0)
+        lim = NarrowBandPipeline(plan, rij, alpha=1.0, band_limit_db=40.0)
+        a = {k: np.asarray(v) for k, v in exact.run_raw(st.data).items()}
+        b = {k: np.asarray(v) for k, v in lim.run_raw(st.data).items()}
+        good = a["mdccm"] > 0.5
+        assert good.sum() > 20
+        # integer-lag peaks: the overwhelming majority identical, rest
+        # within one sample -> vel deviations stay tiny
+        same_vel = np.mean(a["vel"][good] == b["vel"][good])
+        assert same_vel > 0.95, same_vel
+        np.testing.assert_allclose(
+            a["vel"][good], b["vel"][good], rtol=0.02,
+        )
+        np.testing.assert_allclose(
+            a["mdccm"][good], b["mdccm"][good], atol=0.02,
+        )
+
+    def test_ignored_without_filter_bank(self):
+        from narrow_band_least_squares_tpu.models.narrowband import (
+            NarrowBandPipeline,
+        )
+
+        st, plan, rij = self._workload()
+        pipe = NarrowBandPipeline(
+            plan, rij, alpha=1.0, apply_filter=False, band_limit_db=60.0,
+        )
+        assert pipe.band_limit_db == 0.0
