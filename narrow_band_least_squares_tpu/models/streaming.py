@@ -92,6 +92,12 @@ class StreamingMonitor:
             filter_ripple=filter_ripple, alpha=alpha, **pipe_kwargs,
         )
         self.batch = mesh.shape["time"]
+        from collections import deque
+
+        self._inflight = deque()   # (device_out | None, x_ext, chunk, real)
+        self._futures: List = []
+        self._queued: set = set()  # start_epochs submitted, not yet drained
+        self._pool = None
 
     # ------------------------------------------------------------------
     def _seg_name(self, start_epoch: float) -> str:
@@ -111,34 +117,43 @@ class StreamingMonitor:
         ]
 
     # ------------------------------------------------------------------
-    def process(
+    # Incremental pipeline: submit() keeps the device queue
+    # ``dispatch_depth`` super-batches deep (JAX dispatch is
+    # asynchronous) and persistence runs on a worker thread, so host I/O
+    # and segment feed overlap device compute instead of serializing
+    # with it (the round-3 monitor blocked on transfer + persist between
+    # every batch and sustained ~1/30th of the raw step throughput).
+    # The writer is a single ordered thread and a batch is only
+    # persisted after its device result is fully realized, so resume
+    # semantics are unchanged.  flush() drains everything and returns
+    # the records persisted since the last flush.
+
+    def _writer_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        return self._pool
+
+    def submit(
         self, st: ArrayStream, resume: bool = True, dispatch_depth: int = 2,
-    ) -> List[SegmentRecord]:
-        """Run every (not-yet-done) segment of a stream; persist results.
+    ) -> int:
+        """Queue every (not-yet-done) segment of a stream; returns the
+        number of segments queued.  Non-blocking beyond the dispatch-depth
+        cap; call `flush` (or `process`) to collect SegmentRecords.
 
-        The device queue is kept ``dispatch_depth`` super-batches deep
-        (JAX dispatch is asynchronous), and TSV/npz persistence runs on a
-        worker thread, so host I/O overlaps device compute instead of
-        serializing with it (the round-3 monitor blocked on transfer +
-        persist between every batch and sustained ~1/30th of the raw step
-        throughput).  Resume semantics are unchanged: the writer is a
-        single ordered thread, and a batch is only persisted after its
-        device result is fully realized.
+        Multi-process (jax.distributed): every process must execute the
+        same batches (the step and the final assembly are collectives),
+        so the resume scan is decided by process 0 and broadcast; only
+        process 0 persists (shared- and per-host-FS safe).
         """
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
         import jax
 
-        # Multi-process (jax.distributed): every process must execute the
-        # same batches (the step and the final assembly are collectives),
-        # so the resume scan is decided by process 0 and broadcast; only
-        # process 0 persists (shared- and per-host-FS safe).
         multiproc = jax.process_count() > 1
-        writer = jax.process_index() == 0
         starts = self.segment_starts(st)
         mask = np.array(
-            [0 if (resume and self._seg_done(t0)) else 1
+            [0 if ((resume and self._seg_done(t0)) or t0 in self._queued)
+             else 1
              for _, t0 in starts],
             dtype=np.int32,
         )
@@ -148,62 +163,72 @@ class StreamingMonitor:
             mask = np.asarray(multihost_utils.broadcast_one_to_all(mask))
         todo = [s for s, m in zip(starts, mask) if m]
         if not todo:
-            return []
+            return 0
+        self._queued.update(t0 for _, t0 in todo)
 
         # mesh-sized super-batches of halo-extended segments; halos come
         # from the raw stream so non-contiguous resume batches stay exact
-        chunks = []
         for i in range(0, len(todo), self.batch):
             chunk = todo[i : i + self.batch]
             real = len(chunk)
             if real < self.batch:
                 # pad by repeating the last segment; padded outputs dropped
                 chunk = chunk + [chunk[-1]] * (self.batch - real)
-            chunks.append((chunk, real))
-
-        futures = []
-        pending = deque()   # (device_out | None, x_ext, chunk, real)
-
-        def drain_one(pool):
-            dev, x_ext, chunk, real = pending.popleft()
+            x_ext = self.pipe.extend_segments(
+                st.data, [off for off, _ in chunk]
+            )
             try:
-                if dev is None:
-                    raise RuntimeError("dispatch failed")
-                out = self.pipe.finalize_extended(dev)
+                dev = self.pipe.run_extended_async(x_ext)
             except Exception as e:
-                # async errors surface here; re-run the batch with the
-                # synchronous retry loop (per-segment fault tolerance)
-                logger.warning(
-                    "async segment batch failed (%s); retrying", e
-                )
-                out = self._run_with_retry(
-                    lambda: self.pipe.run_extended(x_ext)
-                )
-            if writer:
-                for s in range(real):
-                    futures.append(
-                        pool.submit(self._persist_segment, out, s, chunk[s][1])
-                    )
+                logger.warning("segment dispatch failed: %s", e)
+                dev = None
+            self._inflight.append((dev, x_ext, chunk, real))
+            while len(self._inflight) > max(1, int(dispatch_depth)):
+                self._drain_oldest()
+        return len(todo)
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            try:
-                for chunk, real in chunks:
-                    x_ext = self.pipe.extend_segments(
-                        st.data, [off for off, _ in chunk]
-                    )
-                    try:
-                        dev = self.pipe.run_extended_async(x_ext)
-                    except Exception as e:
-                        logger.warning("segment dispatch failed: %s", e)
-                        dev = None
-                    pending.append((dev, x_ext, chunk, real))
-                    if len(pending) >= max(1, int(dispatch_depth)):
-                        drain_one(pool)
-                while pending:
-                    drain_one(pool)
-            finally:
-                done = [f.result() for f in futures]
+    def _drain_oldest(self):
+        import jax
+
+        writer = jax.process_index() == 0
+        dev, x_ext, chunk, real = self._inflight.popleft()
+        try:
+            if dev is None:
+                raise RuntimeError("dispatch failed")
+            out = self.pipe.finalize_extended(dev)
+        except Exception as e:
+            # async errors surface here; re-run the batch with the
+            # synchronous retry loop (per-segment fault tolerance)
+            logger.warning("async segment batch failed (%s); retrying", e)
+            out = self._run_with_retry(
+                lambda: self.pipe.run_extended(x_ext)
+            )
+        if writer:
+            pool = self._writer_pool()
+            for s in range(real):
+                self._futures.append(
+                    pool.submit(self._persist_segment, out, s, chunk[s][1])
+                )
+        self._queued.difference_update(t0 for _, t0 in chunk[:real])
+
+    def flush(self) -> List[SegmentRecord]:
+        """Drain in-flight batches; return records since the last flush."""
+        while self._inflight:
+            self._drain_oldest()
+        done = [f.result() for f in self._futures]
+        self._futures = []
         return done
+
+    def process(
+        self, st: ArrayStream, resume: bool = True, dispatch_depth: int = 2,
+    ) -> List[SegmentRecord]:
+        """Run every (not-yet-done) segment of a stream; persist results.
+
+        `submit` + `flush`: overlapped, but blocking until everything of
+        THIS stream is persisted (plus anything still queued from prior
+        `submit` calls)."""
+        self.submit(st, resume=resume, dispatch_depth=dispatch_depth)
+        return self.flush()
 
     def _run_with_retry(self, fn):
         last = None
