@@ -84,6 +84,7 @@ class NBLSConfig:
     lts_funnel_k: int = 0           # FAST-LTS funnel (0 = exact all-candidate)
     xcorr_chunk_mb: float = 16.0    # per-chunk cc-tensor budget (0 = off)
     xcorr_lag_tile: int = 512       # lag-axis tile of the inverse DFT (0 = off)
+    band_limit_db: float = 0.0      # >0: xcorr on passband DFT bins only
 
     def __post_init__(self):
         if self.FREQ_BAND_TYPE not in FREQ_BAND_TYPES:
@@ -126,6 +127,7 @@ class NBLSConfig:
             ("lts_funnel_k", 0),
             ("xcorr_chunk_mb", 16.0),
             ("xcorr_lag_tile", 512),
+            ("band_limit_db", 0.0),
         ):
             v = getattr(self, key)
             if v != default:
