@@ -61,40 +61,53 @@ def main():
         nchans=8, duration_s=1200.0, fs=20.0, baz_deg=230.0,
         trace_vel_kms=0.34, f0=0.8, bandwidth=1.2, snr=8.0, seed=42,
     )
-    freqlist, nbands, _ = get_freqlist(0.1, 5.0, "log", 8)
-    winlens = get_winlenlist("adaptive", nbands, 50, 60, 30)
-    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
     rij = get_rij(st.latitudes, st.longitudes, st.nchans)
     segments = st.data[None]  # (S=1, C, Tseg)
 
     report = {"device": str(jax.devices()[0]),
-              "workload": "canonical 8-band, halo-extended single segment"}
-    for alpha, tag in ((1.0, "ols"), (0.75, "lts")):
-        res = {}
-        t_core = None
-        for nb in (1, 2, 4):
-            pipe = ShardedNarrowBandPipeline(
-                plan, rij, mesh=None, mesh_shape=(1, nb),
-                filter_type="cheby1", alpha=alpha,
-            )
+              "workload": "halo-extended single segment; canonical 8-band "
+                          "(band sharding anti-pattern, kept for the "
+                          "record) + dense50 (its target regime)"}
+    jobs = []
+    for wname, nbr in (("canonical", 8), ("dense50", 50)):
+        freqlist, nbands, _ = get_freqlist(0.1, 5.0, "log", nbr)
+        winlens = get_winlenlist("adaptive", nbands, 50, 60, 30)
+        plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+        jobs.append((wname, plan, (1.0, "ols") if nbr > 8 else None))
+
+    for wname, plan, only in jobs:
+        alphas = [only] if only else [(1.0, "ols"), (0.75, "lts")]
+        for alpha, tag in alphas:
+            res = {}
+            t_core = None
+            nb_list = (1, 2, 4) if wname == "canonical" else (1, 2, 5)
+            for nb in nb_list:
+                pipe = ShardedNarrowBandPipeline(
+                    plan, rij, mesh=None, mesh_shape=(1, nb),
+                    filter_type="cheby1", alpha=alpha,
+                )
             # identical halo-extended input for every nb (halo = impulse len)
-            halo = pipe.halo
-            S, C, Tseg = segments.shape
-            x_ext = np.zeros((S, C, halo + Tseg), dtype=np.float32)
-            x_ext[:, :, halo:] = segments
-            xj = jnp.asarray(x_ext)
-            t = chained_time(
-                lambda a, c: pipe._seg_step_jit(a, c), (xj, pipe._consts),
-            )
-            if nb == 1:
-                t_core = t
-            res[f"nb{nb}"] = {
-                "mode": pipe._mode,
-                "step_ms": t * 1e3,
-                "overhead_vs_core_pct": 100.0 * (t / t_core - 1.0),
-            }
-            print(tag, f"nb={nb}", json.dumps(res[f"nb{nb}"]), flush=True)
-        report[tag] = res
+                halo = pipe.halo
+                S, C, Tseg = segments.shape
+                x_ext = np.zeros((S, C, halo + Tseg), dtype=np.float32)
+                x_ext[:, :, halo:] = segments
+                xj = jnp.asarray(x_ext)
+                t = chained_time(
+                    lambda a, c: pipe._seg_step_jit(a, c),
+                    (xj, pipe._consts),
+                    n_chain=10 if wname == "canonical" else 5,
+                )
+                if nb == 1:
+                    t_core = t
+                res[f"nb{nb}"] = {
+                    "mode": pipe._mode,
+                    "step_ms": t * 1e3,
+                    "overhead_vs_core_pct": 100.0 * (t / t_core - 1.0),
+                }
+                print(wname, tag, f"nb={nb}", json.dumps(res[f"nb{nb}"]),
+                      flush=True)
+            key = tag if wname == "canonical" else f"{wname}_{tag}"
+            report[key] = res
 
     # merge into the existing parity artifact
     path = "BENCH_SHARDED_PARITY.json"
