@@ -106,8 +106,6 @@ def slice_tables_bins(tab: Dict[str, np.ndarray], kmin: int, kmax: int
     out["Sf"] = tab["Sf"][:, sl]
     out["Ec"] = tab["Ec"][sl]
     out["Es"] = tab["Es"][sl]
-    if "E2" in tab:
-        out["E2"] = np.concatenate([out["Ec"], -out["Es"]], axis=0)
     return out
 
 
@@ -153,15 +151,13 @@ def precompute_dft_tables(Lmax: int, dtype=np.float32,
     ang_i = 2.0 * np.pi * np.arange(K)[:, None] * m / n
     Ec = (w / n) * np.cos(ang_i)
     Es = (w / n) * np.sin(ang_i)
-    # stacked inverse [Ec; -Es]: evaluates Re(CS).Ec - Im(CS).Es as ONE
-    # matmul over a 2K contraction when the cross-spectra ride stacked as
-    # [ReCS | ImCS] — half the kernel launches of the two-dot form at
-    # identical HBM traffic (cross_correlate_mxu)
-    E2 = np.concatenate([Ec, -Es], axis=0)          # (2K, nlag)
+    # NOTE a stacked [Ec; -Es] single-dot inverse over [ReCS | ImCS] was
+    # measured on v5e and REJECTED: XLA materializes the concatenated
+    # cross-spectra as a real copy (canonical OLS 4.58 -> 5.0 ms), so the
+    # two-dot form with separate Re/Im operands stays (BENCH_LAGTILE2).
     return {
         "Cf": Cf.astype(dtype), "Sf": Sf.astype(dtype),
         "Ec": Ec.astype(dtype), "Es": Es.astype(dtype),
-        "E2": E2.astype(dtype),
         "nfft": n, "lag_min": int(lags[0]),
     }
 
@@ -215,17 +211,12 @@ def cross_correlate_mxu(
     P = pairs.shape[0]
     nlag = tables["Ec"].shape[-1]
     lag_min = tables.get("lag_min", -(Lmax - 1))
-    if "E2" in tables:
-        # stacked single-dot inverse (see precompute_dft_tables)
-        CS2 = jnp.concatenate([ReCS, ImCS], axis=-1).reshape(-1, 2 * K)
-        inv = lambda t0, t1: mm(CS2, tables["E2"][:, t0:t1], precision)
-    else:
-        ReCS2 = ReCS.reshape(-1, K)
-        ImCS2 = ImCS.reshape(-1, K)
-        inv = lambda t0, t1: (
-            mm(ReCS2, tables["Ec"][:, t0:t1], precision)
-            - mm(ImCS2, tables["Es"][:, t0:t1], precision)
-        )
+    ReCS2 = ReCS.reshape(-1, K)
+    ImCS2 = ImCS.reshape(-1, K)
+    inv = lambda t0, t1: (
+        mm(ReCS2, tables["Ec"][:, t0:t1], precision)
+        - mm(ImCS2, tables["Es"][:, t0:t1], precision)
+    )
 
     if lag_tile and lag_tile < nlag and not subsample:
         best_val = jnp.full((B, W, P), -jnp.inf, jnp.float32)
