@@ -80,8 +80,9 @@ def get_stream():
             START, parse_utc(START) + END_OFFSET_S,
             remove_response=True, cache=cache,
         )
-    except ImportError:
-        print("ObsPy/network unavailable -> synthesizing the example event")
+    except Exception as e:   # no ObsPy AND no network (offline box)
+        print(f"acquisition unavailable ({type(e).__name__}) -> "
+              "synthesizing the example event")
         return synthetic_plane_wave(
             nchans=8, duration_s=END_OFFSET_S, fs=20.0, baz_deg=230.0,
             trace_vel_kms=0.34, f0=0.8, bandwidth=1.4, snr=6.0, seed=42,
