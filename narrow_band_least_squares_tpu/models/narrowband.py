@@ -156,11 +156,16 @@ class NarrowBandPipeline:
         #   matmul; the running (max, argmax) across tiles keeps the
         #   (B, W, P, nlag) cc tensor out of HBM (0 = full materialization).
         #   Bit-identical tau/rho (ops.xcorr.cross_correlate_mxu).
-        band_limit_db: float = 0.0,      # >0 (e.g. 60): restrict the xcorr
-        #   DFT matmuls to bins where the band's filter response exceeds
+        band_limit_db: float = 0.0,      # >0: restrict the xcorr DFT
+        #   matmuls to bins where the band's filter response exceeds
         #   -band_limit_db dB (ops.xcorr.band_limit_bins).  Opt-in
-        #   production mode: the dropped stopband bins bound the cc error
-        #   at the filter's stopband level; exact parity keeps all bins.
+        #   production mode; the dropped stopband bins bound the cc error
+        #   at the filter's stopband level.  Measured guidance
+        #   (BENCH_BANDLIMIT.json): -40 dB is safe for standard octave/
+        #   log plans (BT >~ 4; 98.6% bit-identical lags, vel maxdev
+        #   4e-4 km/s); very-low-BT dense sweeps cycle-skip at -40 and
+        #   need -80 dB (98.2% identical, maxdev 0.006 km/s).  Exact
+        #   parity keeps all bins (the default).
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
