@@ -224,6 +224,23 @@ def main():
     details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
     details["dense50_cost"] = cost_and_mfu(pipe50, x, t50)
 
+    # production mode: passband-bin xcorr (opt-in; measured accuracy
+    # envelopes in BENCH_BANDLIMIT.json / the pipeline docstring)
+    pipe_bl = NarrowBandPipeline(
+        plan, rij, filter_type="cheby1", alpha=1.0, band_limit_db=40.0,
+    )
+    t_bl = bench_chained(pipe_bl, x)
+    details["tpu_ols_bandlimit40_s"] = t_bl
+    print(f"bench: ols band_limit=40dB {t_bl*1e3:.2f} ms/step",
+          file=sys.stderr, flush=True)
+    pipe50_bl = NarrowBandPipeline(
+        plan50, rij, filter_type="cheby1", alpha=1.0, band_limit_db=80.0,
+    )
+    t50_bl = bench_chained(pipe50_bl, x, n_chain=5, repeats=3)
+    details["tpu_dense50_bandlimit80_s"] = t50_bl
+    print(f"bench: dense50 band_limit=80dB {t50_bl*1e3:.2f} ms/step",
+          file=sys.stderr, flush=True)
+
     speedup = t_cpu / t_ols
     honest = t_cpu_best / t_ols
     details["e2e_speedup_vs_cpu"] = speedup
