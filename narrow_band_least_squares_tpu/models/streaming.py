@@ -230,6 +230,21 @@ class StreamingMonitor:
         self.submit(st, resume=resume, dispatch_depth=dispatch_depth)
         return self.flush()
 
+    def close(self) -> List[SegmentRecord]:
+        """Drain everything and stop the writer thread."""
+        done = self.flush()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+        return done
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def _run_with_retry(self, fn):
         last = None
         for attempt in range(self.max_retries + 1):
