@@ -70,6 +70,7 @@ class StreamingMonitor:
         alpha: float = 1.0,
         mesh=None,
         max_retries: int = 1,
+        dispatch_segments: int = 4,
         **pipe_kwargs,
     ):
         self.plan = plan
@@ -91,10 +92,19 @@ class StreamingMonitor:
             filter_type=filter_type, filter_order=filter_order,
             filter_ripple=filter_ripple, alpha=alpha, **pipe_kwargs,
         )
-        self.batch = mesh.shape["time"]
+        # segments per device dispatch: a multiple of the time-shard
+        # count >= dispatch_segments.  Bigger batches amortize the
+        # per-dispatch host<->device round trips (through a remote
+        # tunnel each costs ~20 ms — they, not compute, bound the
+        # monitoring loop) at the price of result latency; segments
+        # buffer across submit() calls until a batch fills (flush()
+        # pads out the remainder).
+        nt = mesh.shape["time"]
+        self.batch = nt * max(1, -(-int(dispatch_segments) // nt))
         from collections import deque
 
-        self._inflight = deque()   # (device_out | None, x_ext, chunk, real)
+        self._inflight = deque()   # (device_out | None, x_ext, t0s, real)
+        self._backlog: List = []   # [(x_ext_row (C, T_ext), t0)]
         self._futures: List = []
         self._queued: set = set()  # start_epochs submitted, not yet drained
         self._pool = None
@@ -166,32 +176,42 @@ class StreamingMonitor:
             return 0
         self._queued.update(t0 for _, t0 in todo)
 
-        # mesh-sized super-batches of halo-extended segments; halos come
-        # from the raw stream so non-contiguous resume batches stay exact
-        for i in range(0, len(todo), self.batch):
-            chunk = todo[i : i + self.batch]
-            real = len(chunk)
-            if real < self.batch:
-                # pad by repeating the last segment; padded outputs dropped
-                chunk = chunk + [chunk[-1]] * (self.batch - real)
-            x_ext = self.pipe.extend_segments(
-                st.data, [off for off, _ in chunk]
-            )
-            try:
-                dev = self.pipe.run_extended_async(x_ext)
-            except Exception as e:
-                logger.warning("segment dispatch failed: %s", e)
-                dev = None
-            self._inflight.append((dev, x_ext, chunk, real))
+        # halo-extended segments buffer until a super-batch fills; halos
+        # come from the raw stream so non-contiguous resume batches stay
+        # exact.  Every process sees the same todo (broadcast above), so
+        # batch boundaries are identical across processes.
+        for off, t0 in todo:
+            row = self.pipe.extend_segments(st.data, [off])[0]
+            self._backlog.append((row, t0))
+        while len(self._backlog) >= self.batch:
+            self._dispatch(self._backlog[: self.batch])
+            del self._backlog[: self.batch]
             while len(self._inflight) > max(1, int(dispatch_depth)):
                 self._drain_oldest()
         return len(todo)
+
+    def _dispatch(self, items):
+        """One device dispatch of up to `self.batch` buffered segments."""
+        real = len(items)
+        rows = [r for r, _ in items]
+        t0s = [t for _, t in items]
+        if real < self.batch:
+            # pad by repeating the last segment; padded outputs dropped
+            rows = rows + [rows[-1]] * (self.batch - real)
+            t0s = t0s + [t0s[-1]] * (self.batch - real)
+        x_ext = np.stack(rows)
+        try:
+            dev = self.pipe.run_extended_async(x_ext)
+        except Exception as e:
+            logger.warning("segment dispatch failed: %s", e)
+            dev = None
+        self._inflight.append((dev, x_ext, t0s, real))
 
     def _drain_oldest(self):
         import jax
 
         writer = jax.process_index() == 0
-        dev, x_ext, chunk, real = self._inflight.popleft()
+        dev, x_ext, t0s, real = self._inflight.popleft()
         try:
             if dev is None:
                 raise RuntimeError("dispatch failed")
@@ -207,12 +227,16 @@ class StreamingMonitor:
             pool = self._writer_pool()
             for s in range(real):
                 self._futures.append(
-                    pool.submit(self._persist_segment, out, s, chunk[s][1])
+                    pool.submit(self._persist_segment, out, s, t0s[s])
                 )
-        self._queued.difference_update(t0 for _, t0 in chunk[:real])
+        self._queued.difference_update(t0s[:real])
 
     def flush(self) -> List[SegmentRecord]:
-        """Drain in-flight batches; return records since the last flush."""
+        """Dispatch the backlog remainder, drain in-flight batches, and
+        return records since the last flush."""
+        if self._backlog:
+            self._dispatch(self._backlog)
+            self._backlog = []
         while self._inflight:
             self._drain_oldest()
         done = [f.result() for f in self._futures]

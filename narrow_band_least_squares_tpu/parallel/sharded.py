@@ -227,6 +227,9 @@ class ShardedNarrowBandPipeline:
         if mesh is not None:
             self._step = jax.jit(self._build_sharded_step())
             self._step_ext = jax.jit(self._build_sharded_step_extended())
+            self._step_ext_packed = jax.jit(
+                self._build_sharded_step_extended_packed()
+            )
         self._seg_step_jit = jax.jit(
             jax.vmap(
                 self._build_segment_step(nb_factor=self.nb),
@@ -560,6 +563,25 @@ class ShardedNarrowBandPipeline:
             out_specs=self._out_specs(),
         )
 
+    # outputs stacked into ONE tensor before leaving the device: through
+    # a remote tunnel every fetch is a ~20 ms round trip, and the
+    # monitoring path was paying one per output key (6-7 per batch); the
+    # packed form is one fetch (+1 for LTS flags)
+    _PACK_KEYS = ("vel", "baz", "mdccm", "sig_tau", "vel_uncert",
+                  "baz_uncert")
+
+    def _build_sharded_step_extended_packed(self):
+        step = self._build_sharded_step_extended()
+
+        def body(x_ext, consts):
+            out = step(x_ext, consts)
+            res = {"packed": jnp.stack([out[k] for k in self._PACK_KEYS])}
+            if "flags" in out:
+                res["flags"] = out["flags"]
+            return res
+
+        return body
+
     def extend_segments(
         self, data: np.ndarray, offsets,
     ) -> np.ndarray:
@@ -605,19 +627,25 @@ class ShardedNarrowBandPipeline:
         `finalize_extended` to block and convert.  Lets a caller overlap
         the next batch's host prep / this batch's persist with device
         compute (models.streaming.StreamingMonitor's double-buffering).
+        Outputs ride packed (one stacked tensor) so the host fetch is a
+        single transfer.
         """
         self._require_mesh()
         x = jax.device_put(
             np.asarray(x_ext, dtype=np.dtype(self.dtype)),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
-        return self._step_ext(x, self._consts)
+        return self._step_ext_packed(x, self._consts)
 
     def finalize_extended(
         self, out: Dict[str, jnp.ndarray]
     ) -> Dict[str, np.ndarray]:
         """Block on a `run_extended_async` result and convert to host."""
-        return self._unpermute_bands({k: _to_host(v) for k, v in out.items()})
+        packed = _to_host(out["packed"])
+        res = {k: packed[i] for i, k in enumerate(self._PACK_KEYS)}
+        if "flags" in out:
+            res["flags"] = _to_host(out["flags"])
+        return self._unpermute_bands(res)
 
     # ------------------------------------------------------------------
     def segment_stream(self, data: np.ndarray) -> np.ndarray:
