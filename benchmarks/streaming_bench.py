@@ -31,7 +31,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 GOLDEN = os.path.join(HERE, "..", "tests", "data", "i53_synth_event.mseed")
 
-DURATION_S = 7200.0          # 2 h stream
+DURATION_S = 28800.0         # 8 h stream (enough segments for steady state)
 SEGMENT_S = 600.0            # 10 min monitoring segments
 RECORD_SAMPLES = 400         # samples per telemetry record
 
@@ -102,7 +102,8 @@ def main():
 
     save_dir = tempfile.mkdtemp(prefix="nbls_streambench_")
     try:
-        monitor = StreamingMonitor(plan, rij, save_dir, freqlist, alpha=1.0)
+        monitor = StreamingMonitor(plan, rij, save_dir, freqlist,
+                                   alpha=1.0, dispatch_segments=16)
         ingest = StreamingIngest(
             st.ids, fs=st.fs, segment_npts=seg_npts,
             latitudes=st.latitudes, longitudes=st.longitudes,
@@ -119,8 +120,11 @@ def main():
         feed.sort(key=lambda kv: kv[0])
 
         # warm the compiled step outside the clock (persistent cache makes
-        # this instant on reruns; the sustained number is steady-state)
-        x_ext = monitor.pipe.extend_segments(st.data[:, :seg_npts], [0])
+        # this instant on reruns; the sustained number is steady-state) —
+        # at the monitor's dispatch batch shape, which is what it runs
+        x_ext = monitor.pipe.extend_segments(
+            st.data, [0] * monitor.batch
+        )
         monitor.pipe.run_extended(x_ext)
 
         # incremental submit/flush: the device queue stays 2 batches
