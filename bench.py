@@ -131,7 +131,10 @@ def cost_and_mfu(pipe, x, t_step):
 
 
 def bench_chained(pipe, x, n_chain=10, repeats=5):
-    """Median of `repeats` timings of `n_chain` serialized steps in one jit."""
+    """Min of `repeats` timings of `n_chain` serialized steps in one jit,
+    divided by n_chain.  NOTE: includes the per-invocation host->device
+    round trip / n_chain (~20 ms through the axon tunnel — 2 ms/step at
+    n_chain=10); `bench_chained_fitted` removes it."""
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +159,27 @@ def bench_chained(pipe, x, n_chain=10, repeats=5):
         jax.block_until_ready(y)
         ts.append(time.perf_counter() - t0)
     return min(ts) / n_chain
+
+
+def bench_chained_fitted(pipe, x, n_lo=10, n_hi=100, repeats=3):
+    """Per-invocation-overhead-free step time via a two-point fit.
+
+    A chained invocation costs t(n) = n*t_step + overhead (the dispatch
+    RPC + fori_loop entry); measuring at two chain lengths solves for
+    t_step directly.  Through the remote tunnel the overhead is ~20 ms,
+    which inflated every round-1..3 number by overhead/n_chain (the
+    methodology was consistent across rounds, so speedups/ratios held,
+    but absolute step times were ~2 ms high at n_chain=10).  Returns
+    (t_step, overhead_s, raw dict).
+    """
+    t_lo = bench_chained(pipe, x, n_chain=n_lo, repeats=repeats)
+    t_hi = bench_chained(pipe, x, n_chain=n_hi, repeats=repeats)
+    # t_lo/t_hi are per-step: invocation totals are n*t
+    C = (t_lo - t_hi) / (1.0 / n_lo - 1.0 / n_hi)
+    t_step = min(t_hi - C / n_hi, t_hi)
+    return max(t_step, 0.0), max(C, 0.0), {
+        f"n{n_lo}": t_lo, f"n{n_hi}": t_hi,
+    }
 
 
 def main():
@@ -188,9 +212,14 @@ def main():
 
     pipe = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=1.0)
     print("bench: compiling/timing OLS step ...", file=sys.stderr, flush=True)
-    t_ols = bench_chained(pipe, x)
-    print(f"bench: ols {t_ols*1e3:.2f} ms/step", file=sys.stderr, flush=True)
+    t_ols, rpc_c, raw = bench_chained_fitted(pipe, x)
+    print(f"bench: ols {t_ols*1e3:.2f} ms/step "
+          f"(raw n10 {raw['n10']*1e3:.2f}, invocation overhead "
+          f"{rpc_c*1e3:.1f} ms)", file=sys.stderr, flush=True)
     details["tpu_ols_s"] = t_ols
+    details["chain_fit"] = {"ols_raw": raw, "invocation_overhead_s": rpc_c,
+                            "note": "t(n)=n*t_step+overhead two-point fit; "
+                                    "rounds 1-3 reported raw n_chain=10"}
     details["ols_solves_per_s_per_chip"] = n_solves / t_ols
     details["ols_cost"] = cost_and_mfu(pipe, x, t_ols)
 
@@ -203,7 +232,7 @@ def main():
 
     pipe_lts = NarrowBandPipeline(plan, rij, filter_type="cheby1", alpha=0.75)
     print("bench: compiling/timing LTS step ...", file=sys.stderr, flush=True)
-    t_lts = bench_chained(pipe_lts, x)
+    t_lts, _, _ = bench_chained_fitted(pipe_lts, x)
     print(f"bench: lts {t_lts*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_lts_s"] = t_lts
     details["lts_solves_per_s_per_chip"] = n_solves / t_lts
@@ -218,7 +247,7 @@ def main():
     plan50 = make_plan(fl50, "log", wl50, 0.5, st.npts, st.fs)
     pipe50 = NarrowBandPipeline(plan50, rij, filter_type="cheby1", alpha=1.0)
     print("bench: compiling/timing dense50 step ...", file=sys.stderr, flush=True)
-    t50 = bench_chained(pipe50, x, n_chain=5, repeats=3)
+    t50, _, _ = bench_chained_fitted(pipe50, x, n_lo=5, n_hi=50)
     print(f"bench: dense50 {t50*1e3:.2f} ms/step", file=sys.stderr, flush=True)
     details["tpu_dense50_s"] = t50
     details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
@@ -229,14 +258,14 @@ def main():
     pipe_bl = NarrowBandPipeline(
         plan, rij, filter_type="cheby1", alpha=1.0, band_limit_db=40.0,
     )
-    t_bl = bench_chained(pipe_bl, x)
+    t_bl, _, _ = bench_chained_fitted(pipe_bl, x)
     details["tpu_ols_bandlimit40_s"] = t_bl
     print(f"bench: ols band_limit=40dB {t_bl*1e3:.2f} ms/step",
           file=sys.stderr, flush=True)
     pipe50_bl = NarrowBandPipeline(
         plan50, rij, filter_type="cheby1", alpha=1.0, band_limit_db=80.0,
     )
-    t50_bl = bench_chained(pipe50_bl, x, n_chain=5, repeats=3)
+    t50_bl, _, _ = bench_chained_fitted(pipe50_bl, x, n_lo=5, n_hi=50)
     details["tpu_dense50_bandlimit80_s"] = t50_bl
     print(f"bench: dense50 band_limit=80dB {t50_bl*1e3:.2f} ms/step",
           file=sys.stderr, flush=True)

@@ -44,6 +44,16 @@ def chained_time(step_fn, args, n_chain=10, repeats=5):
     return min(ts) / n_chain
 
 
+def chained_time_fitted(step_fn, args, n_lo=10, n_hi=100, repeats=3):
+    """Two-point fit removing the per-invocation RPC overhead
+    (bench.bench_chained_fitted): overhead/n_chain otherwise inflates
+    every step AND biases overhead ratios toward 1."""
+    t_lo = chained_time(step_fn, args, n_chain=n_lo, repeats=repeats)
+    t_hi = chained_time(step_fn, args, n_chain=n_hi, repeats=repeats)
+    C = (t_lo - t_hi) / (1.0 / n_lo - 1.0 / n_hi)
+    return max(min(t_hi - C / n_hi, t_hi), 0.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -92,10 +102,11 @@ def main():
                 x_ext = np.zeros((S, C, halo + Tseg), dtype=np.float32)
                 x_ext[:, :, halo:] = segments
                 xj = jnp.asarray(x_ext)
-                t = chained_time(
+                t = chained_time_fitted(
                     lambda a, c: pipe._seg_step_jit(a, c),
                     (xj, pipe._consts),
-                    n_chain=10 if wname == "canonical" else 5,
+                    n_lo=10 if wname == "canonical" else 5,
+                    n_hi=100 if wname == "canonical" else 50,
                 )
                 if nb == 1:
                     t_core = t
