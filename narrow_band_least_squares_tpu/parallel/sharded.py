@@ -124,6 +124,9 @@ class ShardedNarrowBandPipeline:
         bucket_ratio: float = 1.3,
         bucket_slack: float = 1.08,
         max_lts_candidates: int = 0,
+        xcorr_chunk_mb: float = 16.0,
+        xcorr_lag_tile: int = 512,
+        band_limit_db: float = 0.0,
         mesh_shape: Optional[Tuple[int, int]] = None,
     ):
         self.mesh = mesh
@@ -175,6 +178,8 @@ class ShardedNarrowBandPipeline:
             bucket_bands=(self.bucket_bands and self.nb == 1),
             bucket_ratio=bucket_ratio, bucket_slack=bucket_slack,
             max_lts_candidates=max_lts_candidates,
+            xcorr_chunk_mb=xcorr_chunk_mb, xcorr_lag_tile=xcorr_lag_tile,
+            band_limit_db=band_limit_db,
         )
         self.base = base
         self._bucket_slack = float(bucket_slack)
@@ -293,6 +298,15 @@ class ShardedNarrowBandPipeline:
                             idx[r, w, :Lb] = s0 + np.arange(Lb)
                             idx[r, w, Lb:] = s0
             tab = XC.precompute_dft_tables(Lg, dtype, max_lag=half)
+            if self.base.band_limit_db > 0:
+                bands = sorted(
+                    int(deal[k, int(s)]) for k in range(nb) for s in slots_np
+                )
+                kmin, kmax = XC.band_limit_bins(
+                    self.base.sos_list, bands, tab["nfft"], plan.fs,
+                    self.base.band_limit_db, zerophase=self.base.zerophase,
+                )
+                tab = XC.slice_tables_bins(tab, kmin, kmax)
             self._bucket_tables.append({
                 k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
                 for k, v in tab.items()

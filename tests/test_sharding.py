@@ -173,6 +173,30 @@ class TestOptimizedShardedPath:
             out["baz"][0][good], ref["baz"][good], rtol=1e-3, atol=1e-2
         )
 
+    def test_band_limit_db(self, long_stream):
+        """band_limit_db plumbs into the slot-bucket tables; sharded must
+        still equal its sequential oracle exactly, and stay close to the
+        full-bin physics."""
+        pipe, segs = _build(
+            long_stream, alpha=1.0, nt=2, nb=4, band_limit_db=40.0,
+        )
+        # the bucket tables actually shrank
+        K_full = max(
+            bk["Lg"] + 1 for bk in pipe._slot_buckets
+        )
+        assert any(
+            t["Cf"].shape[1] < K_full for t in pipe._bucket_tables
+        )
+        sharded = pipe.run(segs)
+        seq = pipe.run_reference_sequential(segs)
+        np.testing.assert_allclose(
+            sharded["vel"], seq["vel"], rtol=1e-5, atol=1e-5
+        )
+        good = sharded["mdccm"] > 0.6
+        baz = sharded["baz"][good]
+        d = np.abs((baz - 310.0 + 180.0) % 360.0 - 180.0)
+        assert np.median(d) < 5.0
+
     def test_max_lag(self, long_stream):
         # aperture 2.04 km / 0.32 km/s -> max physical delay 6.4 s; the cap
         # must sit above it (production setting: aperture / min velocity)
