@@ -161,6 +161,12 @@ def bench_chained(pipe, x, n_chain=10, repeats=5):
     return min(ts) / n_chain
 
 
+def fit_chain(t_lo, t_hi, n_lo, n_hi):
+    """Solve t(n) = n*t_step + C for t_step from two per-step timings."""
+    C = (t_lo - t_hi) / (1.0 / n_lo - 1.0 / n_hi)
+    return max(min(t_hi - C / n_hi, t_hi), 0.0), max(C, 0.0)
+
+
 def bench_chained_fitted(pipe, x, n_lo=10, n_hi=100, repeats=3):
     """Per-invocation-overhead-free step time via a two-point fit.
 
@@ -174,12 +180,8 @@ def bench_chained_fitted(pipe, x, n_lo=10, n_hi=100, repeats=3):
     """
     t_lo = bench_chained(pipe, x, n_chain=n_lo, repeats=repeats)
     t_hi = bench_chained(pipe, x, n_chain=n_hi, repeats=repeats)
-    # t_lo/t_hi are per-step: invocation totals are n*t
-    C = (t_lo - t_hi) / (1.0 / n_lo - 1.0 / n_hi)
-    t_step = min(t_hi - C / n_hi, t_hi)
-    return max(t_step, 0.0), max(C, 0.0), {
-        f"n{n_lo}": t_lo, f"n{n_hi}": t_hi,
-    }
+    t_step, C = fit_chain(t_lo, t_hi, n_lo, n_hi)
+    return t_step, C, {f"n{n_lo}": t_lo, f"n{n_hi}": t_hi}
 
 
 def main():

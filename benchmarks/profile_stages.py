@@ -21,6 +21,16 @@ plan = make_plan(fl, "log", wl, 0.5, st.npts, st.fs)
 pipe = NarrowBandPipeline(plan, rij, alpha=1.0)  # bucketed default
 x = jnp.asarray(st.data, jnp.float32)
 
+def timeit_fitted(fn, arg, reduce=lambda o: jnp.sum(o)):
+    """Two-point chain fit removing the ~22 ms per-invocation RPC
+    (bench.fit_chain)."""
+    from bench import fit_chain
+
+    t20 = timeit(fn, arg, n_chain=20, reduce=reduce)
+    t100 = timeit(fn, arg, n_chain=100, repeats=3, reduce=reduce)
+    return fit_chain(t20, t100, 20, 100)[0]
+
+
 def timeit(fn, arg, n_chain=20, repeats=5, reduce=lambda o: jnp.sum(o)):
     def chained(a):
         def body(i, carry):
@@ -42,7 +52,7 @@ res = {}
 
 def stage_filter(xx):
     return F.filter_bank_fft(xx, pipe._h_bank, pipe._taper, pipe.nfft_filter, pipe.zerophase)
-res["filter"] = timeit(stage_filter, x)
+res["filter"] = timeit_fitted(stage_filter, x)
 print("filter", res["filter"]*1e3, flush=True)
 
 y0 = stage_filter(x)
@@ -52,29 +62,29 @@ def stage_extract(yy):
     for bk in pipe._buckets:
         outs.append(jnp.sum(extract_windows(yy[bk["band_idx"]], bk["idx"], bk["len_mask"], bk["lengths"])))
     return jnp.stack(outs).sum()
-res["extract"] = timeit(stage_extract, y0, reduce=lambda o: o)
+res["extract"] = timeit_fitted(stage_extract, y0, reduce=lambda o: o)
 print("extract", res["extract"]*1e3, flush=True)
 
 def stage_xcorr(yy):
     tau, rho, md = pipe._xcorr_bucketed(yy)
     return jnp.sum(tau) + jnp.sum(rho) + jnp.sum(md)
-res["extract_xcorr"] = timeit(stage_xcorr, y0, reduce=lambda o: o)
+res["extract_xcorr"] = timeit_fitted(stage_xcorr, y0, reduce=lambda o: o)
 print("extract+xcorr", res["extract_xcorr"]*1e3, flush=True)
 
 tau0, _, _ = pipe._xcorr_bucketed(y0)
 def stage_solve(tt):
     out = SOLVE.ols_solve(tt, pipe._X, pipe._pinv, pipe._XtX_inv)
     return jnp.sum(out["vel"]) + jnp.sum(out["sig_tau"])
-res["solve"] = timeit(stage_solve, tau0, reduce=lambda o: o)
+res["solve"] = timeit_fitted(stage_solve, tau0, reduce=lambda o: o)
 print("solve", res["solve"]*1e3, flush=True)
 
 def full(xx):
     return pipe._make_step()(xx)
-res["full"] = timeit(full, x, reduce=lambda o: jnp.sum(o["vel"]))
+res["full"] = timeit_fitted(full, x, reduce=lambda o: jnp.sum(o["vel"]))
 print("full", res["full"]*1e3, flush=True)
 out = {k: v * 1e3 for k, v in res.items()}
 out["_note"] = (
-    "ms per step, canonical OLS, chained x20; stage sums exceed 'full' "
+    "ms per step, canonical OLS, two-point chain fit (RPC-free); stage sums exceed 'full' "
     "because XLA fuses across stage boundaries in the full step. "
     "'extract' is the gather path; the default strided extraction only "
     "exists fused inside extract_xcorr."

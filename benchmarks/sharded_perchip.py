@@ -46,12 +46,13 @@ def chained_time(step_fn, args, n_chain=10, repeats=5):
 
 def chained_time_fitted(step_fn, args, n_lo=10, n_hi=100, repeats=3):
     """Two-point fit removing the per-invocation RPC overhead
-    (bench.bench_chained_fitted): overhead/n_chain otherwise inflates
-    every step AND biases overhead ratios toward 1."""
+    (bench.fit_chain): overhead/n_chain otherwise inflates every step
+    AND biases overhead ratios toward 1."""
+    from bench import fit_chain
+
     t_lo = chained_time(step_fn, args, n_chain=n_lo, repeats=repeats)
     t_hi = chained_time(step_fn, args, n_chain=n_hi, repeats=repeats)
-    C = (t_lo - t_hi) / (1.0 / n_lo - 1.0 / n_hi)
-    return max(min(t_hi - C / n_hi, t_hi), 0.0)
+    return fit_chain(t_lo, t_hi, n_lo, n_hi)[0]
 
 
 def main():

@@ -211,9 +211,17 @@ def gather_waveforms(
             )
         hostport = source.split("://", 1)[1]
         host, port = hostport.rsplit(":", 1)
+        if "*" in station or "?" in station:
+            raise ValueError(
+                "wave servers have no wildcard queries; list the array "
+                "elements explicitly (EarthwormClient.menu() discovers "
+                "them), e.g. station='I53H1,I53H2,...'"
+            )
+        stations = [s for s in station.split(",") if s]
+        if not stations:
+            raise ValueError("empty station list for wave-server source")
         out = gather_waveforms_earthworm(
-            host, int(port), network,
-            [s for s in station.replace("*", "").split(",") if s],
+            host, int(port), network, stations,
             location, channel, starttime, endtime, **earthworm_kwargs,
         )
         if cache:

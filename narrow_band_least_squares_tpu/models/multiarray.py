@@ -99,7 +99,15 @@ class MultiArrayPipeline:
             pinvs.append(lsq["pinv"])
             XtXis.append(lsq["XtX_inv"])
             if alpha < 1.0:
-                ci = LTS.precompute_candidates(X)
+                # same candidate policy as the base pipeline (which also
+                # auto-sets lts_candidate_chunk when the full enumeration
+                # is large; base.lts_candidate_chunk is read at solve
+                # time, so the bound applies here too)
+                ci = LTS.precompute_candidates(
+                    X, max_candidates=base_kwargs.get(
+                        "max_lts_candidates", 0
+                    ),
+                )
                 cands.append(ci["cand"])
                 Ainvs.append(ci["Ainv"])
                 oks.append(ci["ok"])

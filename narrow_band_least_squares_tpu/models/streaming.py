@@ -220,16 +220,23 @@ class StreamingMonitor:
             # async errors surface here; re-run the batch with the
             # synchronous retry loop (per-segment fault tolerance)
             logger.warning("async segment batch failed (%s); retrying", e)
-            out = self._run_with_retry(
-                lambda: self.pipe.run_extended(x_ext)
-            )
+            try:
+                out = self._run_with_retry(
+                    lambda: self.pipe.run_extended(x_ext)
+                )
+            except Exception:
+                # permanently failed: un-queue so a later submit retries
+                self._queued.difference_update(t0s[:real])
+                raise
         if writer:
             pool = self._writer_pool()
             for s in range(real):
                 self._futures.append(
-                    pool.submit(self._persist_segment, out, s, t0s[s])
+                    pool.submit(self._persist_and_mark, out, s, t0s[s])
                 )
-        self._queued.difference_update(t0s[:real])
+        else:
+            # non-writers don't persist; the resume scan is process 0's
+            self._queued.difference_update(t0s[:real])
 
     def flush(self) -> List[SegmentRecord]:
         """Dispatch the backlog remainder, drain in-flight batches, and
@@ -239,8 +246,15 @@ class StreamingMonitor:
             self._backlog = []
         while self._inflight:
             self._drain_oldest()
-        done = [f.result() for f in self._futures]
-        self._futures = []
+        futs, self._futures = self._futures, []
+        done, first_err = [], None
+        for f in futs:
+            try:
+                done.append(f.result())
+            except Exception as e:  # keep draining; report the first
+                first_err = first_err or e
+        if first_err is not None:
+            raise first_err
         return done
 
     def process(
@@ -278,6 +292,13 @@ class StreamingMonitor:
                 logger.warning("segment attempt %d failed: %s", attempt, e)
                 last = e
         raise last
+
+    def _persist_and_mark(self, out, s: int, t0: float) -> SegmentRecord:
+        """Writer-thread persist; the segment stays in _queued until its
+        file exists, so an overlapping re-submit can't duplicate it."""
+        rec = self._persist_segment(out, s, t0)
+        self._queued.discard(t0)
+        return rec
 
     # ------------------------------------------------------------------
     def _persist_segment(self, out: Dict[str, np.ndarray], s: int,

@@ -231,7 +231,6 @@ class ShardedNarrowBandPipeline:
         self._consts, self._consts_specs = self._build_consts()
         if mesh is not None:
             self._step = jax.jit(self._build_sharded_step())
-            self._step_ext = jax.jit(self._build_sharded_step_extended())
             self._step_ext_packed = jax.jit(
                 self._build_sharded_step_extended_packed()
             )

@@ -174,3 +174,17 @@ def test_perf_option_combos_match_individual(arrays, kw):
         if "flags" in out and not funnel:
             fd = np.asarray(out["flags"][k]) != np.asarray(ref["flags"])
             assert not fd.any(), f"flags array {k}"
+
+
+def test_max_lts_candidates_respected(arrays):
+    """Regression (r4 review): the per-array candidate sets honor
+    max_lts_candidates just like the base pipeline."""
+    _, plan, rijs = arrays
+    batch = MultiArrayPipeline(plan, rijs, alpha=0.75,
+                               max_lts_candidates=10)
+    assert batch._cand.shape[1] == 10
+    assert batch.base._cand.shape[0] == 10
+    full = MultiArrayPipeline(plan, rijs, alpha=0.75)
+    import math
+    P = batch.base.pairs_np.shape[0]
+    assert full._cand.shape[1] == math.comb(P, 2)

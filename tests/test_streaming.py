@@ -127,3 +127,21 @@ def test_retry_exhaustion_raises(monitor_setup, tmp_path, monkeypatch):
     monkeypatch.setattr(mon2.pipe, "run_extended", always_fail)
     with _pytest.raises(RuntimeError, match="persistent"):
         mon2.process(st)
+
+
+def test_overlapping_submit_no_duplicates(monitor_setup, tmp_path):
+    """Regression (r4 review): segments stay in the in-flight dedupe set
+    until their file exists, so re-submitting an overlapping stream while
+    the writer thread lags cannot duplicate records."""
+    st, mon, _ = monitor_setup
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist, alpha=1.0,
+    )
+    n = len(mon2.segment_starts(st))
+    mon2.submit(st)
+    mon2.submit(st)      # overlapping re-submit before anything persisted
+    recs = mon2.flush()
+    assert len(recs) == n
+    assert len({r.start_epoch for r in recs}) == n
+    files = [f for f in os.listdir(str(tmp_path)) if f.endswith(".txt")]
+    assert len(files) == n
