@@ -29,14 +29,24 @@ def bench(pipe, n_chain=10, repeats=5):
         ts.append(time.perf_counter() - t0)
     return min(ts) / n_chain
 
-out = {}
+from bench import fit_chain
+
+def bench_fit(pipe, n_lo, n_hi):
+    return fit_chain(bench(pipe, n_chain=n_lo, repeats=3),
+                     bench(pipe, n_chain=n_hi, repeats=3), n_lo, n_hi)[0]
+
+out = {"_note": "two-point chain fit (RPC-overhead-free), round 4"}
 for name, nb8 in (("canonical8", 8), ("dense50", 50)):
     fl, nb, _ = get_freqlist(0.1, 5.0, "log", nb8)
     wl = get_winlenlist("adaptive", nb, 50, 60, 30)
     plan = make_plan(fl, "log", wl, 0.5, st.npts, st.fs)
+    pipe = NarrowBandPipeline(plan, rij, alpha=0.75)
+    t = bench_fit(pipe, 10 if nb8 == 8 else 5, 100 if nb8 == 8 else 50)
+    out[f"{name}_lts_exact"] = t
+    print(f"{name}_lts_exact", round(t*1000, 2), "ms", flush=True)
     for k in (16, 32):
         pipe = NarrowBandPipeline(plan, rij, alpha=0.75, lts_funnel_k=k)
-        t = bench(pipe, n_chain=10 if nb8 == 8 else 5, repeats=5 if nb8 == 8 else 3)
+        t = bench_fit(pipe, 10 if nb8 == 8 else 5, 100 if nb8 == 8 else 50)
         out[f"{name}_lts_funnel{k}"] = t
         print(f"{name}_lts_funnel{k}", round(t*1000, 2), "ms", flush=True)
     p0 = NarrowBandPipeline(plan, rij, alpha=0.75)
@@ -47,4 +57,6 @@ for name, nb8 in (("canonical8", 8), ("dense50", 50)):
     out[f"{name}_funnel16_flag_agreement"] = agree
     out[f"{name}_funnel16_maxdev_vel"] = dv
     print(name, "funnel16 flags agree:", agree, "maxdev vel:", dv, flush=True)
+with open("BENCH_LTS_FUNNEL.json", "w") as f:
+    json.dump(out, f, indent=1)
 print(json.dumps(out))

@@ -200,6 +200,7 @@ def cmd_monitor(args):
         plan, rij, args.out, freqlist,
         filter_type=cfg.FILTER_TYPE, filter_order=cfg.FILTER_ORDER,
         filter_ripple=cfg.FILTER_RIPPLE, alpha=cfg.ALPHA,
+        dispatch_segments=getattr(args, "dispatch_segments", 4),
         **cfg.perf_overrides(),
     )
     recs = mon.process(st, resume=not args.no_resume)
@@ -261,6 +262,10 @@ def main(argv=None):
     p_mon.add_argument("--segment-s", type=float, default=1200.0)
     p_mon.add_argument("--out", default="nbls_monitor")
     p_mon.add_argument("--no-resume", action="store_true")
+    p_mon.add_argument("--dispatch-segments", type=int, default=4,
+                       help="segments batched per device dispatch "
+                            "(amortizes dispatch round trips; higher = "
+                            "more throughput, more result latency)")
     p_mon.set_defaults(fn=cmd_monitor)
 
     p_def = sub.add_parser("defaults", help="print a default config JSON")
