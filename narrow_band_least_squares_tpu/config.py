@@ -84,7 +84,7 @@ class NBLSConfig:
     lts_funnel_k: int = 0           # FAST-LTS funnel (0 = exact all-candidate)
     xcorr_chunk_mb: float = 16.0    # per-chunk cc-tensor budget (0 = off)
     xcorr_lag_tile: int = 512       # lag-axis tile of the inverse DFT (0 = off)
-    band_limit_db: float = 0.0      # >0: xcorr on passband DFT bins only
+    band_limit_db: object = 0.0     # >0 dB or "auto": passband-bin xcorr
 
     def __post_init__(self):
         if self.FREQ_BAND_TYPE not in FREQ_BAND_TYPES:

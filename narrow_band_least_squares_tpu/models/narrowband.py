@@ -75,6 +75,25 @@ class NarrowBandResult:
         )
 
 
+def band_limit_auto_db(bt_min: float) -> float:
+    """BT-aware band-limit threshold (band_limit_db='auto').
+
+    A cheap peak search cycle-skips when the correlation envelope is
+    flat: neighboring lobes differ by ~1/(2BT), so the tolerable cc
+    error — and hence the bin-truncation level — must scale with the
+    band's time-bandwidth product.  Calibrated on two measured points
+    (BENCH_BANDLIMIT.json): BT>=3.8 plans are safe at -40 dB (98.6%
+    bit-identical lags), BT~1.3 dense sweeps need -80 dB (98.2%);
+    log-interpolating between them gives
+    ``db = 40 + 85*log10(3.8/BT)``, clipped to [40, 90].
+    """
+    import math
+
+    if bt_min >= 3.8:
+        return 40.0
+    return float(min(90.0, 40.0 + 85.0 * math.log10(3.8 / max(bt_min, 0.05))))
+
+
 def flags_to_stdict(
     flags: np.ndarray,           # (B, Wmax, P) bool
     t_array: np.ndarray,         # (B, width) datenums
@@ -164,8 +183,10 @@ class NarrowBandPipeline:
         #   (BENCH_BANDLIMIT.json): -40 dB is safe for standard octave/
         #   log plans (BT >~ 4; 98.6% bit-identical lags, vel maxdev
         #   4e-4 km/s); very-low-BT dense sweeps cycle-skip at -40 and
-        #   need -80 dB (98.2% identical, maxdev 0.006 km/s).  Exact
-        #   parity keeps all bins (the default).
+        #   need -80 dB (98.2% identical, maxdev 0.006 km/s).
+        #   "auto" applies a per-bucket BT-aware threshold (band_limit_auto_db)
+        #   so one setting is safe on any plan.  Exact parity keeps all
+        #   bins (the default).
     ):
         from narrow_band_least_squares_tpu.utils.compcache import (
             enable_compilation_cache,
@@ -198,7 +219,9 @@ class NarrowBandPipeline:
         # them; very dense sweeps (hundreds of bands) pay compile time.
         self.xcorr_chunk_bytes = int(float(xcorr_chunk_mb) * 1e6)
         self.xcorr_lag_tile = int(xcorr_lag_tile)
-        self.band_limit_db = float(band_limit_db)
+        self.band_limit_db = (
+            "auto" if band_limit_db == "auto" else float(band_limit_db)
+        )
         self.nchans = self.rij.shape[1]
 
         # ---- geometry / solver constants (host) ----
@@ -340,7 +363,7 @@ class NarrowBandPipeline:
                 })
             order = np.concatenate([g.band_idx for g in bgrids])
             self._bucket_inv_perm = np.argsort(order).astype(np.int32)
-        if self.band_limit_db > 0 and (
+        if self.band_limit_db and (
             xcorr_method != "mxu" or self.sos_list is None
         ):
             logger.warning(
@@ -350,11 +373,18 @@ class NarrowBandPipeline:
             self.band_limit_db = 0.0
 
         def _limit(tab, band_idx, nfft):
-            if self.band_limit_db <= 0:
+            if not self.band_limit_db:
                 return tab
+            if self.band_limit_db == "auto":
+                bts = plan.bt_products()
+                db = band_limit_auto_db(
+                    min(bts[int(b)] for b in band_idx)
+                )
+            else:
+                db = float(self.band_limit_db)
             kmin, kmax = XC.band_limit_bins(
                 self.sos_list, band_idx, nfft, plan.fs,
-                self.band_limit_db, zerophase=self.zerophase,
+                db, zerophase=self.zerophase,
             )
             return XC.slice_tables_bins(tab, kmin, kmax)
 

@@ -126,7 +126,7 @@ class ShardedNarrowBandPipeline:
         max_lts_candidates: int = 0,
         xcorr_chunk_mb: float = 16.0,
         xcorr_lag_tile: int = 512,
-        band_limit_db: float = 0.0,
+        band_limit_db=0.0,          # float dB or "auto" (BT-aware)
         mesh_shape: Optional[Tuple[int, int]] = None,
     ):
         self.mesh = mesh
@@ -297,13 +297,22 @@ class ShardedNarrowBandPipeline:
                             idx[r, w, :Lb] = s0 + np.arange(Lb)
                             idx[r, w, Lb:] = s0
             tab = XC.precompute_dft_tables(Lg, dtype, max_lag=half)
-            if self.base.band_limit_db > 0:
+            if self.base.band_limit_db:
+                from narrow_band_least_squares_tpu.models.narrowband import (
+                    band_limit_auto_db,
+                )
+
                 bands = sorted(
                     int(deal[k, int(s)]) for k in range(nb) for s in slots_np
                 )
+                if self.base.band_limit_db == "auto":
+                    bts = plan.bt_products()
+                    db = band_limit_auto_db(min(bts[b] for b in bands))
+                else:
+                    db = float(self.base.band_limit_db)
                 kmin, kmax = XC.band_limit_bins(
                     self.base.sos_list, bands, tab["nfft"], plan.fs,
-                    self.base.band_limit_db, zerophase=self.base.zerophase,
+                    db, zerophase=self.base.zerophase,
                 )
                 tab = XC.slice_tables_bins(tab, kmin, kmax)
             self._bucket_tables.append({

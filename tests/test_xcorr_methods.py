@@ -496,3 +496,44 @@ class TestBandLimitedXcorr:
             plan, rij, alpha=1.0, apply_filter=False, band_limit_db=60.0,
         )
         assert pipe.band_limit_db == 0.0
+
+
+def test_band_limit_auto_scales_with_bt():
+    """'auto' keeps -40 dB for healthy-BT plans and tightens toward
+    -90 dB for very-low-BT bands (models.narrowband.band_limit_auto_db,
+    calibrated on BENCH_BANDLIMIT.json)."""
+    from narrow_band_least_squares_tpu.models.narrowband import (
+        band_limit_auto_db,
+    )
+
+    assert band_limit_auto_db(5.0) == 40.0
+    assert band_limit_auto_db(3.8) == 40.0
+    mid = band_limit_auto_db(2.0)
+    low = band_limit_auto_db(1.3)
+    assert 40.0 < mid < low <= 90.0
+    assert abs(low - 79.6) < 2.0       # the measured dense50 point
+    assert band_limit_auto_db(0.01) == 90.0
+
+
+def test_band_limit_auto_pipeline(small_stream):
+    from narrow_band_least_squares_tpu.models.narrowband import (
+        NarrowBandPipeline,
+    )
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import (
+        get_freqlist, get_winlenlist, make_plan,
+    )
+
+    st = small_stream
+    freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+    winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+    plan = make_plan(freqlist, "log", winlens, 0.5, st.npts, st.fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    exact = NarrowBandPipeline(plan, rij, alpha=1.0)
+    auto = NarrowBandPipeline(plan, rij, alpha=1.0, band_limit_db="auto")
+    a = exact.run_raw(st.data)
+    b = auto.run_raw(st.data)
+    good = np.asarray(a["mdccm"]) > 0.6
+    np.testing.assert_allclose(
+        np.asarray(a["vel"])[good], np.asarray(b["vel"])[good], rtol=0.02,
+    )
