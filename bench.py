@@ -258,18 +258,18 @@ def main():
     # production mode: passband-bin xcorr (opt-in; measured accuracy
     # envelopes in BENCH_BANDLIMIT.json / the pipeline docstring)
     pipe_bl = NarrowBandPipeline(
-        plan, rij, filter_type="cheby1", alpha=1.0, band_limit_db=40.0,
+        plan, rij, filter_type="cheby1", alpha=1.0, band_limit_db="auto",
     )
     t_bl, _, _ = bench_chained_fitted(pipe_bl, x)
-    details["tpu_ols_bandlimit40_s"] = t_bl
-    print(f"bench: ols band_limit=40dB {t_bl*1e3:.2f} ms/step",
+    details["tpu_ols_bandlimit_auto_s"] = t_bl
+    print(f"bench: ols band_limit=auto {t_bl*1e3:.2f} ms/step",
           file=sys.stderr, flush=True)
     pipe50_bl = NarrowBandPipeline(
-        plan50, rij, filter_type="cheby1", alpha=1.0, band_limit_db=80.0,
+        plan50, rij, filter_type="cheby1", alpha=1.0, band_limit_db="auto",
     )
     t50_bl, _, _ = bench_chained_fitted(pipe50_bl, x, n_lo=5, n_hi=50)
-    details["tpu_dense50_bandlimit80_s"] = t50_bl
-    print(f"bench: dense50 band_limit=80dB {t50_bl*1e3:.2f} ms/step",
+    details["tpu_dense50_bandlimit_auto_s"] = t50_bl
+    print(f"bench: dense50 band_limit=auto {t50_bl*1e3:.2f} ms/step",
           file=sys.stderr, flush=True)
 
     speedup = t_cpu / t_ols
