@@ -145,3 +145,20 @@ def test_overlapping_submit_no_duplicates(monitor_setup, tmp_path):
     assert len({r.start_epoch for r in recs}) == n
     files = [f for f in os.listdir(str(tmp_path)) if f.endswith(".txt")]
     assert len(files) == n
+
+
+def test_lts_monitor_persists_flags(monitor_setup, tmp_path):
+    """LTS mode through the packed async path: flags ride as the second
+    fetch and land in the per-segment npz."""
+    st, mon, _ = monitor_setup
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist, alpha=0.8,
+    )
+    recs = mon2.process(st)
+    assert len(recs) == 5
+    z = np.load(recs[0].path_npz)
+    flags = z["flags"]
+    B, Wmax = mon.plan.nbands, mon.plan.max_windows
+    P = mon2.pipe.base.pairs_np.shape[0]
+    assert flags.shape == (B, Wmax, P)
+    assert flags.dtype == bool
