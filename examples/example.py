@@ -80,7 +80,10 @@ def get_stream():
             START, parse_utc(START) + END_OFFSET_S,
             remove_response=True, cache=cache,
         )
-    except Exception as e:   # no ObsPy AND no network (offline box)
+    except (ImportError, OSError) as e:
+        # no ObsPy AND no network (offline box); URLError/socket errors
+        # are OSError.  Configuration errors (bad station list, etc.)
+        # still propagate rather than silently yielding synthetic data.
         print(f"acquisition unavailable ({type(e).__name__}) -> "
               "synthesizing the example event")
         return synthetic_plane_wave(

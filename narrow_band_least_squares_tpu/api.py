@@ -186,9 +186,8 @@ def ltsva(
         from narrow_band_least_squares_tpu.ops.solve import (
             chi2_ellipse_uncertainties,
         )
-        XtX_inv = np.linalg.inv(pipe.X64.T @ pipe.X64)
         vel_uncert, baz_uncert = chi2_ellipse_uncertainties(
-            vel, baz, sig_tau, XtX_inv, conf=conf,
+            vel, baz, sig_tau, pipe.XtX_inv64, conf=conf,
         )
     stdict = None
     if ALPHA < 1.0:

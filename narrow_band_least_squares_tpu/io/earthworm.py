@@ -136,6 +136,16 @@ class EarthwormClient:
             return 0      # FL/FR/FG/FN: gap, out of range, or no data
 
         head, payload = self._roundtrip(req, binary_len_from_header=nbytes)
+        expected = nbytes(head)
+        if len(payload) != expected:
+            # a truncated payload could parse cleanly on a packet
+            # boundary and zero-fill the tail — corrupt waveforms, not
+            # an error — so reject short reads loudly
+            raise RuntimeError(
+                f"wave server returned {len(payload)} of {expected} "
+                f"bytes for {net}.{sta}.{loc}.{chan} (connection "
+                "truncated?)"
+            )
         if not payload:
             return []
         return parse_tracebuf2(payload)

@@ -210,6 +210,11 @@ def gather_waveforms(
                 "counts (deconvolve via io.response + local StationXML)"
             )
         hostport = source.split("://", 1)[1]
+        if ":" not in hostport or not hostport.rsplit(":", 1)[1].isdigit():
+            raise ValueError(
+                f"wave-server source needs host:port, got {source!r} "
+                "(e.g. 'ew://pubavo1.wr.usgs.gov:16022')"
+            )
         host, port = hostport.rsplit(":", 1)
         if "*" in station or "?" in station:
             raise ValueError(

@@ -229,6 +229,7 @@ class NarrowBandPipeline:
         self.X64 = X
         self.pairs_np = pairs
         lsq = SOLVE.precompute_lstsq(X)
+        self.XtX_inv64 = lsq["XtX_inv"]          # float64 host copy
         self._X = jnp.asarray(X, dtype)
         self._pinv = jnp.asarray(lsq["pinv"], dtype)
         self._XtX_inv = jnp.asarray(lsq["XtX_inv"], dtype)

@@ -180,9 +180,8 @@ class StreamingMonitor:
         # come from the raw stream so non-contiguous resume batches stay
         # exact.  Every process sees the same todo (broadcast above), so
         # batch boundaries are identical across processes.
-        for off, t0 in todo:
-            row = self.pipe.extend_segments(st.data, [off])[0]
-            self._backlog.append((row, t0))
+        rows = self.pipe.extend_segments(st.data, [off for off, _ in todo])
+        self._backlog.extend(zip(rows, (t0 for _, t0 in todo)))
         while len(self._backlog) >= self.batch:
             self._dispatch(self._backlog[: self.batch])
             del self._backlog[: self.batch]
@@ -200,11 +199,17 @@ class StreamingMonitor:
             rows = rows + [rows[-1]] * (self.batch - real)
             t0s = t0s + [t0s[-1]] * (self.batch - real)
         x_ext = np.stack(rows)
-        try:
+        import jax
+
+        if jax.process_count() > 1:
+            # collective dispatch must stay symmetric across processes
             dev = self.pipe.run_extended_async(x_ext)
-        except Exception as e:
-            logger.warning("segment dispatch failed: %s", e)
-            dev = None
+        else:
+            try:
+                dev = self.pipe.run_extended_async(x_ext)
+            except Exception as e:
+                logger.warning("segment dispatch failed: %s", e)
+                dev = None
         self._inflight.append((dev, x_ext, t0s, real))
 
     def _drain_oldest(self):
@@ -212,22 +217,32 @@ class StreamingMonitor:
 
         writer = jax.process_index() == 0
         dev, x_ext, t0s, real = self._inflight.popleft()
-        try:
-            if dev is None:
-                raise RuntimeError("dispatch failed")
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # the step is a cross-process collective: a per-process
+            # retry would diverge the collective schedules (deadlock);
+            # let failures propagate symmetrically on every process
             out = self.pipe.finalize_extended(dev)
-        except Exception as e:
-            # async errors surface here; re-run the batch with the
-            # synchronous retry loop (per-segment fault tolerance)
-            logger.warning("async segment batch failed (%s); retrying", e)
+        else:
             try:
-                out = self._run_with_retry(
-                    lambda: self.pipe.run_extended(x_ext)
+                if dev is None:
+                    raise RuntimeError("dispatch failed")
+                out = self.pipe.finalize_extended(dev)
+            except Exception as e:
+                # async errors surface here; re-run the batch with the
+                # synchronous retry loop (per-segment fault tolerance)
+                logger.warning(
+                    "async segment batch failed (%s); retrying", e
                 )
-            except Exception:
-                # permanently failed: un-queue so a later submit retries
-                self._queued.difference_update(t0s[:real])
-                raise
+                try:
+                    out = self._run_with_retry(
+                        lambda: self.pipe.run_extended(x_ext)
+                    )
+                except Exception:
+                    # permanently failed: un-queue so a later submit
+                    # retries
+                    self._queued.difference_update(t0s[:real])
+                    raise
         if writer:
             pool = self._writer_pool()
             for s in range(real):
@@ -254,6 +269,9 @@ class StreamingMonitor:
             except Exception as e:  # keep draining; report the first
                 first_err = first_err or e
         if first_err is not None:
+            # attach the successfully persisted records so the caller
+            # doesn't lose their paths
+            first_err.records = done
             raise first_err
         return done
 
@@ -270,11 +288,12 @@ class StreamingMonitor:
 
     def close(self) -> List[SegmentRecord]:
         """Drain everything and stop the writer thread."""
-        done = self.flush()
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
-            self._pool = None
-        return done
+        try:
+            return self.flush()
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
 
     def __enter__(self):
         return self
@@ -295,10 +314,13 @@ class StreamingMonitor:
 
     def _persist_and_mark(self, out, s: int, t0: float) -> SegmentRecord:
         """Writer-thread persist; the segment stays in _queued until its
-        file exists, so an overlapping re-submit can't duplicate it."""
-        rec = self._persist_segment(out, s, t0)
-        self._queued.discard(t0)
-        return rec
+        file exists, so an overlapping re-submit can't duplicate it.
+        On failure it is un-queued too — a later submit() retries it
+        (no file was produced, so the resume scan re-selects it)."""
+        try:
+            return self._persist_segment(out, s, t0)
+        finally:
+            self._queued.discard(t0)
 
     # ------------------------------------------------------------------
     def _persist_segment(self, out: Dict[str, np.ndarray], s: int,
