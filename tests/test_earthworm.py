@@ -195,3 +195,46 @@ def test_gather_waveforms_dispatch(server, tmp_path):
         cache=str(tmp_path / "ew.npz"),
     )
     np.testing.assert_array_equal(st.data, st2.data)
+
+
+def test_truncated_payload_rejected():
+    """A short binary payload must raise, not zero-fill silently."""
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def answer():
+        conn, _ = srv.accept()
+        with conn:
+            req = b""
+            while not req.endswith(b"\n"):
+                c = conn.recv(1)
+                if not c:
+                    return
+                req += c
+            pkt = make_tracebuf2("STA", "XX", "BDF", "--", T0, FS,
+                                 np.arange(100, dtype=np.int32))
+            # advertise more bytes than we send, then close
+            head = f"0 0 STA BDF XX -- F i4 {T0:.4f} {len(pkt) * 2}\n"
+            conn.sendall(head.encode() + pkt)
+
+    t = threading.Thread(target=answer, daemon=True)
+    t.start()
+    cl = EarthwormClient("127.0.0.1", port, timeout=5.0)
+    with pytest.raises(RuntimeError, match="truncated"):
+        cl.get_scnl_raw("STA", "BDF", "XX", "--", T0, T0 + 5)
+    srv.close()
+
+
+def test_wave_server_url_validation():
+    from narrow_band_least_squares_tpu.io.stream import gather_waveforms
+
+    with pytest.raises(ValueError, match="host:port"):
+        gather_waveforms("ew://hostonly", "XX", "ST0", "--", "BDF",
+                         T0, T0 + 10, remove_response=False)
+    with pytest.raises(ValueError, match="wildcard"):
+        gather_waveforms("ew://h:123", "XX", "ST*", "--", "BDF",
+                         T0, T0 + 10, remove_response=False)
