@@ -110,6 +110,13 @@ def test_perf_overrides_roundtrip(tmp_path):
         "max_lag_s": 5.0, "lts_funnel_k": 8, "c_steps": 6,
     }
     assert NBLSConfig().perf_overrides() == {}
+    # the 'auto' band-limit survives the JSON round trip as a string
+    cfg2 = NBLSConfig(band_limit_db="auto")
+    p2 = str(tmp_path / "auto.json")
+    cfg2.to_json(p2)
+    assert NBLSConfig.from_json(p2).perf_overrides() == {
+        "band_limit_db": "auto",
+    }
 
 
 def test_run_with_perf_config(stream_npz, tmp_path, capsys):
