@@ -342,20 +342,25 @@ class StreamingMonitor:
             )
         flags = np.asarray(out["flags"][s]) if "flags" in out else None
         return self._write(dense("vel"), dense("baz"), dense("mdccm"),
-                           dense("sig_tau"), t_array, flags, t0)
+                           dense("sig_tau"), t_array, flags, t0,
+                           vel_uncert=dense("vel_uncert"),
+                           baz_uncert=dense("baz_uncert"))
 
     def _write(self, vel, baz, mdccm, sig_tau, t_array, flags,
-               t0: float) -> SegmentRecord:
+               t0: float, vel_uncert=None, baz_uncert=None) -> SegmentRecord:
         name = self._seg_name(t0)
         path_txt = write_txtfile(
             self.save_dir, name, vel, baz, mdccm, t_array,
             self.freqlist, self.plan.num_compute_list,
         )
         path_npz = os.path.join(self.save_dir, name + ".npz")
+        extra = {}
+        if vel_uncert is not None:
+            extra = {"vel_uncert": vel_uncert, "baz_uncert": baz_uncert}
         np.savez_compressed(
             path_npz, vel=vel, baz=baz, mdccm=mdccm, sig_tau=sig_tau,
             t=t_array, flags=(flags if flags is not None else np.zeros(0)),
-            num_compute=np.asarray(self.plan.num_compute_list),
+            num_compute=np.asarray(self.plan.num_compute_list), **extra,
         )
         return SegmentRecord(t0, path_txt, path_npz)
 

@@ -162,3 +162,6 @@ def test_lts_monitor_persists_flags(monitor_setup, tmp_path):
     P = mon2.pipe.base.pairs_np.shape[0]
     assert flags.shape == (B, Wmax, P)
     assert flags.dtype == bool
+    # the npz also carries the uncertainty arrays (beyond-reference)
+    assert z["vel_uncert"].shape == z["vel"].shape
+    assert z["baz_uncert"].shape == z["baz"].shape
