@@ -52,8 +52,10 @@ def main():
     mesh = make_mesh(nt, nb, devices)
     print(f"devices={len(devices)} mesh=(time={nt}, band={nb})")
 
+    # the stream must cover at least one segment per time shard
+    duration_s = max(HOURS * 3600.0, nt * SEGMENT_S)
     st = synthetic_plane_wave(
-        nchans=8, duration_s=HOURS * 3600.0, fs=20.0, baz_deg=230.0,
+        nchans=8, duration_s=duration_s, fs=20.0, baz_deg=230.0,
         trace_vel_kms=0.34, f0=0.8, bandwidth=1.4, snr=6.0, seed=42,
     )
     freqlist, nbands, fmax = get_freqlist(FMIN, FMAX, "log", NBANDS)
