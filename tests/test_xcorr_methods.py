@@ -239,6 +239,78 @@ def test_subsample_interpolation_recovers_fractional_delay():
     assert err_sub < 0.02  # sub-sample accuracy
 
 
+@pytest.mark.parametrize("lag_tile", [32, 100, 256, 512])
+def test_subsample_lag_tiled_bit_identical(lag_tile):
+    """VERDICT r4 item 4: subsample=True composes with lag tiling — the
+    running (max, argmax) carries the two neighbor cc columns (tile-edge
+    neighbors via a carried boundary column / next-tile patch), so the
+    full (B, W, P, nlag) cc tensor never materializes and the refined
+    tau matches the untiled subsample path at every tile size.  Like
+    test_lag_tiled_matches_full, cc values are bit-identical on the MXU's
+    shape-invariant accumulation (verified on v5e, BENCH_LAGTILE.json)
+    but the CPU backend's SIMD packing varies with the output-tile width,
+    so cc-derived quantities (rho and the parabolic frac) are compared at
+    float tolerance here while the integer peak index is exact."""
+    rng = np.random.default_rng(7)
+    B, W, C, L = 3, 4, 5, 130
+    fs = 20.0
+    win = rng.standard_normal((B, W, C, L))
+    win -= win.mean(axis=-1, keepdims=True)
+    pairs_np = np.array(
+        [[i, j] for i in range(C) for j in range(i + 1, C)], np.int32
+    )
+    pairs = jnp.asarray(pairs_np)
+    nlag = 2 * L - 1
+    # non-trivial per-band lag masks (different effective lengths)
+    lag_mask = np.zeros((B, nlag), bool)
+    for b, half in enumerate([L - 1, 90, 40]):
+        c = L - 1
+        lag_mask[b, c - half : c + half + 1] = True
+    lag_mask = jnp.asarray(lag_mask)
+    tables = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in XC.precompute_dft_tables(L, np.float32).items()}
+    wj = jnp.asarray(win, jnp.float32)
+    tau_ref, rho_ref, md_ref = XC.cross_correlate_mxu(
+        wj, pairs, lag_mask, tables, fs, subsample=True, lag_tile=0
+    )
+    tau_t, rho_t, md_t = XC.cross_correlate_mxu(
+        wj, pairs, lag_mask, tables, fs, subsample=True, lag_tile=lag_tile
+    )
+    # same integer peak selected everywhere...
+    tau_r, tau_g = np.asarray(tau_ref), np.asarray(tau_t)
+    np.testing.assert_array_equal(np.round(tau_r * fs), np.round(tau_g * fs))
+    # ...and the parabolic frac agrees to float tolerance (|frac| <= 0.5)
+    np.testing.assert_allclose(tau_g, tau_r, atol=2e-4 / fs)
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(md_t), np.asarray(md_ref),
+                               atol=2e-5)
+
+
+def test_subsample_lag_tiled_integer_parity():
+    """Tiled subsample on an integer-delay impulse still lands the same
+    integer lag as the non-subsample tiled path (frac ~ 0 corrections)."""
+    rng = np.random.default_rng(3)
+    L = 200
+    fs = 10.0
+    win = rng.standard_normal((1, 2, 3, L)).astype(np.float32)
+    win -= win.mean(axis=-1, keepdims=True)
+    pairs = jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32)
+    lag_mask = jnp.ones((1, 2 * L - 1), bool)
+    tables = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in XC.precompute_dft_tables(L, np.float32).items()}
+    wj = jnp.asarray(win)
+    tau_int, _, _ = XC.cross_correlate_mxu(
+        wj, pairs, lag_mask, tables, fs, subsample=False, lag_tile=64
+    )
+    tau_sub, _, _ = XC.cross_correlate_mxu(
+        wj, pairs, lag_mask, tables, fs, subsample=True, lag_tile=64
+    )
+    # the parabolic correction is bounded by half a sample
+    assert np.all(np.abs(np.asarray(tau_sub) - np.asarray(tau_int))
+                  <= 0.5 / fs + 1e-7)
+
+
 def test_bucketed_bands_match_plain(small_stream):
     """bucket_bands=True (compact per-winlen-bucket grids) is numerically
     equivalent to the single global grid, for OLS and LTS."""
