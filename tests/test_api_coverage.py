@@ -85,6 +85,119 @@ class TestDeterminism:
         np.testing.assert_array_equal(a[2], b[2])
 
 
+class TestNarrowBandLoop:
+    """VERDICT r4 item 5: the 10-tuple parallel-worker contract
+    (reference narrow_band_least_squares.py:134-218).  Each band's tuple
+    must survive the pickle boundary it exists for (joblib) and
+    reassemble — via the same gather logic as the reference parallel
+    path (:289-321) — into the narrow_band_least_squares output."""
+
+    def _roundtrip(self, st, alpha):
+        import pickle
+
+        from narrow_band_least_squares_tpu.utils.plan import (
+            reference_vector_len,
+        )
+
+        freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+        winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+        fr = np.logspace(-2, np.log10(st.fs / 2), 40)
+        full = api.narrow_band_least_squares(
+            winlens, 0.5, alpha, st, st.latitudes, st.longitudes,
+            nbands, None, None, freqlist, "log", fr, "cheby1", 2, 0.01,
+        )
+        vector_len = reference_vector_len(winlens, 0.5, st.npts, st.fs)
+
+        # per-band workers, each tuple through the pickle boundary
+        results = []
+        for ii in range(nbands):
+            tup = api.narrow_band_loop(
+                ii, freqlist, "log", fr, st, "cheby1", 2, 0.01,
+                st.latitudes, st.longitudes, winlens, 0.5, alpha,
+                vector_len,
+            )
+            results.append(pickle.loads(pickle.dumps(tup)))
+
+        # reference gather: dense (NBANDS, vector_len) arrays + stdict merge
+        vel_array = np.zeros((nbands, vector_len))
+        baz_array = np.zeros((nbands, vector_len))
+        mdccm_array = np.zeros((nbands, vector_len))
+        t_array = np.zeros((nbands, vector_len))
+        sig_tau_array = np.zeros((nbands, vector_len))
+        w_array = np.zeros((nbands, len(fr)))
+        h_array = np.zeros((nbands, len(fr)), dtype=complex)
+        stdict_all = {}
+        num_compute_list = []
+        for jj in range(nbands):
+            vel_array[jj, :] = results[jj][0]
+            baz_array[jj, :] = results[jj][1]
+            mdccm_array[jj, :] = results[jj][2]
+            t_array[jj, :] = results[jj][3]
+            sig_tau_array[jj, :] = results[jj][6]
+            if alpha < 1.0:
+                stdict = dict(zip(results[jj][4], results[jj][5]))
+                for key, v in stdict.items():
+                    if key != "size":
+                        stdict_all[str(jj + 1).zfill(2) + "_" + key] = v
+                    else:
+                        stdict_all[key] = v
+            num_compute_list.append(int(results[jj][7]))
+            w_array[jj, :] = results[jj][8]
+            h_array[jj, :] = results[jj][9]
+
+        # equality with the one-shot batched path, band by band.  The loop
+        # path filters each band in its own program (api.filter_data) while
+        # the batched path runs the in-pipeline filter bank; with ALPHA<1
+        # the discrete LTS subset selection can flip on last-bit filter
+        # differences for a few near-degenerate windows, so the LTS numeric
+        # comparison bounds the flip fraction instead of asserting per-
+        # window float equality (the OLS comparison stays strict).
+        for jj in range(nbands):
+            n = num_compute_list[jj]
+            assert n == full[6][jj]
+            dv = np.abs(vel_array[jj, :n] - full[0][jj, :n])
+            db = np.abs(
+                (baz_array[jj, :n] - full[1][jj, :n] + 180.0) % 360.0 - 180.0
+            )
+            ds = np.abs(sig_tau_array[jj, :n] - full[5][jj, :n])
+            if alpha == 1.0:
+                assert dv.max() < 2e-4 and db.max() < 0.1
+                assert ds.max() < 2e-4
+            else:
+                assert (dv < 2e-4).mean() > 0.8 and dv.max() < 0.05
+                assert (db < 0.1).mean() > 0.8 and db.max() < 20.0
+                assert ds.max() < 0.05
+            np.testing.assert_allclose(
+                mdccm_array[jj, :n], full[2][jj, :n], rtol=0, atol=2e-3
+            )
+            np.testing.assert_allclose(
+                t_array[jj, :n], full[3][jj, :n], rtol=0, atol=1e-9
+            )
+            # padding stays zero beyond the valid prefix
+            assert np.all(vel_array[jj, n:] == 0.0)
+            np.testing.assert_allclose(
+                np.abs(h_array[jj]), np.abs(full[8][jj]), rtol=1e-6
+            )
+        return stdict_all, full[4]
+
+    def test_ols_roundtrip(self, small_stream):
+        stdict_all, full_stdict = self._roundtrip(small_stream, 1.0)
+        assert stdict_all == {} and full_stdict is None
+
+    def test_lts_stdict_roundtrip(self, outlier_stream):
+        stdict_all, full_stdict = self._roundtrip(outlier_stream, 0.75)
+        # the flattened object-array stdict reassembles to the batched
+        # path's band-prefixed key set exactly; flagged-element values may
+        # differ only on the few subset-selection-flipped windows
+        assert set(stdict_all) == set(full_stdict)
+        same = sum(
+            np.array_equal(np.asarray(stdict_all[k]),
+                           np.asarray(full_stdict[k]))
+            for k in full_stdict
+        )
+        assert same >= 0.8 * len(full_stdict)
+
+
 class TestConfig:
     def test_json_roundtrip(self, tmp_path):
         cfg = NBLSConfig(ALPHA=0.8, NBANDS=12, FREQ_BAND_TYPE="octave_linear")
