@@ -167,8 +167,13 @@ def ltsva(
     (PARITY.md); a confidence level (e.g. ``0.90``) returns the
     Szuberla & Olson 2004 slowness-plane chi-square-ellipse confidence
     intervals the vendored ``lts_array`` solver reports
-    (ops.solve.chi2_ellipse_uncertainties).  The narrow-band wrappers
-    discard both (reference ``narrow_band_least_squares.py:91-98``).
+    (ops.solve.chi2_ellipse_uncertainties).  With ``ALPHA < 1`` the
+    ellipse for each window is built from the RETAINED co-array subset's
+    normal matrix (ops.solve.subset_normal_inverses), matching the
+    vendored solver's convention — flagged-out elements widen the CIs
+    rather than being silently counted in the geometry.  The narrow-band
+    wrappers discard both (reference
+    ``narrow_band_least_squares.py:91-98``).
     """
     rij = get_rij(list(lat_list), list(lon_list), st.nchans)
     plan = make_plan([0.0, st.fs / 2], "linear", [WINLEN], WINOVER, st.npts, st.fs)
@@ -185,9 +190,14 @@ def ltsva(
     if conf is not None:
         from narrow_band_least_squares_tpu.ops.solve import (
             chi2_ellipse_uncertainties,
+            subset_normal_inverses,
         )
+        xtx_inv = pipe.XtX_inv64
+        if ALPHA < 1.0 and res.flags is not None:
+            keep = ~np.asarray(res.flags)[0, :n, :]
+            xtx_inv = subset_normal_inverses(pipe.X64, keep)
         vel_uncert, baz_uncert = chi2_ellipse_uncertainties(
-            vel, baz, sig_tau, pipe.XtX_inv64, conf=conf,
+            vel, baz, sig_tau, xtx_inv, conf=conf,
         )
     stdict = None
     if ALPHA < 1.0:

@@ -17,9 +17,14 @@ gap zero-fill, exactly like the FDSN path merges miniSEED records.
 
 Wave servers carry no station coordinates or responses; callers supply a
 ``coordinates`` mapping (station -> (lat, lon)) or a ``metadata_source``
-FDSN service that is queried for coordinates only (io.fdsn.parse_station_text).
-Counts are returned as-is (``remove_response`` is not available from a
-bare wave server; deconvolve with io.response against a local StationXML).
+FDSN service that is queried for coordinates (io.fdsn.parse_station_text).
+``remove_response=True`` honors the reference's L0 contract
+(``gather_waveforms(SOURCE, ..., remove_response=True)``, reference
+``example.py:91``) on this path too: the instrument responses come from a
+local StationXML document (``response_xml=``) or the ``metadata_source``
+FDSN station service at ``level=response``, and each trace is deconvolved
+with the same water-level frequency-domain division as the FDSN path
+(io.response.remove_response).
 """
 
 from __future__ import annotations
@@ -62,6 +67,15 @@ def parse_tracebuf2(buf: bytes) -> List[dict]:
         chan = buf[off + 48 : off + 52].split(b"\x00")[0].decode()
         loc = buf[off + 52 : off + 55].split(b"\x00")[0].decode()
         width = int(dt[2])
+        # the header's nsamp is network-supplied: a corrupt/malicious
+        # value must fail loudly, not desync the offset walk (np.frombuffer
+        # treats count=-1 as "read everything")
+        if nsamp < 0 or off + _TB2_HEADER + nsamp * width > n:
+            raise ValueError(
+                f"tracebuf2 header claims nsamp={nsamp} ({nsamp * width} "
+                f"bytes) but only {n - off - _TB2_HEADER} payload bytes "
+                "remain"
+            )
         data = np.frombuffer(
             buf, dtype=dt, count=nsamp, offset=off + _TB2_HEADER
         ).astype(np.float64)
@@ -111,12 +125,25 @@ class EarthwormClient:
         toks = head.split()
         out = []
         # response: "<id>  <pin> S C N L <start> <end> <datatype>  ..."
+        # Each entry is validated (pin integer, start/end floats) rather
+        # than trusted at a fixed stride: a server emitting extra
+        # per-entry fields would otherwise silently shift every
+        # subsequent entry instead of failing.
         i = 1
         while i + 7 <= len(toks):
+            try:
+                int(toks[i])
+                start = float(toks[i + 5])
+                end = float(toks[i + 6])
+            except ValueError:
+                raise ValueError(
+                    f"malformed MENU entry at token {i}: "
+                    f"{' '.join(toks[i : i + 8])!r}"
+                ) from None
             out.append({
                 "sta": toks[i + 1], "chan": toks[i + 2],
                 "net": toks[i + 3], "loc": toks[i + 4],
-                "start": float(toks[i + 5]), "end": float(toks[i + 6]),
+                "start": start, "end": end,
             })
             i += 8
         return out
@@ -181,6 +208,9 @@ def gather_waveforms_earthworm(
     metadata_source: Optional[str] = None,
     timeout: float = 30.0,
     client: Optional[EarthwormClient] = None,
+    remove_response: bool = False,
+    response_xml: Optional[str] = None,
+    water_level_db: float = 60.0,
 ) -> ArrayStream:
     """Fetch one array's channels from a wave server into an ArrayStream.
 
@@ -188,6 +218,15 @@ def gather_waveforms_earthworm(
     servers have no wildcard queries; use ``EarthwormClient.menu()`` to
     discover).  Coordinates come from ``coordinates`` (station -> (lat,
     lon)) or an FDSN ``metadata_source`` station query (text format).
+
+    ``remove_response=True`` deconvolves each trace's instrument response
+    (counts -> physical units), sourcing the responses from
+    ``response_xml`` (a local StationXML file path, or the XML text
+    itself) or, failing that, the ``metadata_source`` FDSN station
+    service at ``level=response``.  Raises ``ValueError`` when neither is
+    available or a requested channel has no response in the document —
+    silently returning counts would be a unit change for drop-in callers
+    whose downstream amplitude thresholds assume physical units.
     """
     t0 = parse_utc(starttime)
     t1 = parse_utc(endtime)
@@ -229,7 +268,68 @@ def gather_waveforms_earthworm(
         lats.append(coords[sta][0])
         lons.append(coords[sta][1])
         ids.append(f"{network}.{sta}.{location}.{channel}")
+    data = np.stack(rows)
+
+    if remove_response:
+        from narrow_band_least_squares_tpu.io.response import (
+            parse_stationxml, remove_response as _deconvolve,
+        )
+
+        responses = _load_responses(
+            response_xml, metadata_source, network, station_list, location,
+            channel, starttime, endtime, timeout,
+        )
+        # wave-server location '--' means blank; StationXML keys use ''
+        loc_norm = "" if location in ("--", "") else location
+        for i, sta in enumerate(station_list):
+            sid = f"{network}.{sta}.{loc_norm}.{channel}"
+            resp = responses.get(sid)
+            if resp is None or not resp.stages:
+                raise ValueError(
+                    f"no instrument response for {sid} in the provided "
+                    "StationXML; pass response_xml=/metadata_source= with "
+                    "responses for every element, or remove_response=False "
+                    "for raw counts"
+                )
+            data[i] = _deconvolve(
+                data[i], float(rate0), resp, water_level_db=water_level_db,
+            )
+
     return ArrayStream(
-        data=np.stack(rows), fs=float(rate0), start_epoch=t0,
+        data=data, fs=float(rate0), start_epoch=t0,
         latitudes=lats, longitudes=lons, ids=ids,
+    )
+
+
+def _load_responses(
+    response_xml, metadata_source, network, station_list, location,
+    channel, starttime, endtime, timeout,
+):
+    """StationXML responses from a local file/text or the FDSN service."""
+    from narrow_band_least_squares_tpu.io.response import parse_stationxml
+
+    if response_xml:
+        text = response_xml
+        if "<" not in response_xml:  # a path, not XML text
+            with open(response_xml, "r") as f:
+                text = f.read()
+        return parse_stationxml(text)
+    if metadata_source:
+        from narrow_band_least_squares_tpu.io.fdsn import (
+            _http_get, station_response_url,
+        )
+
+        xml = _http_get(
+            station_response_url(
+                metadata_source, network, ",".join(station_list), location,
+                channel, starttime, endtime,
+            ),
+            timeout,
+        ).decode()
+        return parse_stationxml(xml)
+    raise ValueError(
+        "remove_response=True on a wave-server source needs the responses "
+        "from somewhere: pass response_xml= (local StationXML) or "
+        "metadata_source= (FDSN station service), or pass "
+        "remove_response=False explicitly to accept raw counts"
     )

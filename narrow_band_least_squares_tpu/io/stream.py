@@ -187,9 +187,13 @@ def gather_waveforms(
     - ``'ew://host:port'`` / ``'winston://host:port'``: WaveServerV
       protocol (io.earthworm).  ``station`` is a comma-separated element
       list; pass ``coordinates={sta: (lat, lon)}`` or
-      ``metadata_source='IRIS'`` for the geometry; ``remove_response`` is
-      unavailable from a bare wave server (counts are returned —
-      deconvolve via io.response against local StationXML).
+      ``metadata_source='IRIS'`` for the geometry.  Wave servers carry no
+      responses themselves, so ``remove_response=True`` (the default, the
+      reference's contract) additionally needs ``response_xml=`` (local
+      StationXML path/text) or ``metadata_source=`` (queried at
+      ``level=response``) and deconvolves via io.response; it RAISES when
+      neither is supplied — pass ``remove_response=False`` explicitly to
+      accept raw counts (a silent unit change otherwise).
 
     If a ``cache`` .npz path exists, it is loaded instead of the network.
     """
@@ -204,11 +208,6 @@ def gather_waveforms(
             gather_waveforms_earthworm,
         )
 
-        if remove_response:
-            logger.warning(
-                "wave servers carry no instrument responses; returning "
-                "counts (deconvolve via io.response + local StationXML)"
-            )
         hostport = source.split("://", 1)[1]
         if ":" not in hostport or not hostport.rsplit(":", 1)[1].isdigit():
             raise ValueError(
@@ -227,7 +226,8 @@ def gather_waveforms(
             raise ValueError("empty station list for wave-server source")
         out = gather_waveforms_earthworm(
             host, int(port), network, stations,
-            location, channel, starttime, endtime, **earthworm_kwargs,
+            location, channel, starttime, endtime,
+            remove_response=remove_response, **earthworm_kwargs,
         )
         if cache:
             out.save_npz(cache)

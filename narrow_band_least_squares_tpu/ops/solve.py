@@ -87,7 +87,7 @@ def chi2_ellipse_uncertainties(
     vel: np.ndarray,         # (...) trace velocity [km/s]
     baz: np.ndarray,         # (...) back-azimuth [deg]
     sig_tau: np.ndarray,     # (...) delay-residual RMS [s]
-    XtX_inv: np.ndarray,     # (2, 2) co-array normal-matrix inverse
+    XtX_inv: np.ndarray,     # (2, 2) or (..., 2, 2) normal-matrix inverse
     conf: float = 0.90,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Szuberla & Olson (2004) slowness-plane confidence-ellipse intervals.
@@ -105,10 +105,16 @@ def chi2_ellipse_uncertainties(
     own vel_uncert/baz_uncert are the 1-sigma linearized versions, which
     this function reduces to (times the chi2 scale) for small ellipses.
     Host-side numpy — CIs are an API-boundary product.
+
+    ``XtX_inv`` may be a single (2, 2) matrix (OLS: the full co-array
+    geometry) or per-window (..., 2, 2) matrices broadcastable against
+    ``vel`` (LTS: the retained-subset normal matrix per window, see
+    `subset_normal_inverses` — excluded elements widen the ellipse).
     """
     vel = np.asarray(vel, dtype=np.float64)
     baz = np.asarray(baz, dtype=np.float64)
     sig_tau = np.asarray(sig_tau, dtype=np.float64)
+    XtX_inv = np.asarray(XtX_inv, dtype=np.float64)
     k = -2.0 * np.log1p(-float(conf))          # chi2.ppf(conf, 2)
     with np.errstate(divide="ignore", invalid="ignore"):
         smag = np.where(vel > 0, 1.0 / np.maximum(vel, 1e-30), np.inf)
@@ -116,7 +122,9 @@ def chi2_ellipse_uncertainties(
     # s = -|s| (sin az, cos az); u = radial unit vector, t = tangential
     ux, uy = -np.sin(az), -np.cos(az)
     tx, ty = -uy, ux
-    a, b_, c = XtX_inv[0, 0], XtX_inv[0, 1], XtX_inv[1, 1]
+    a = XtX_inv[..., 0, 0]
+    b_ = XtX_inv[..., 0, 1]
+    c = XtX_inv[..., 1, 1]
     C_scale = k * sig_tau * sig_tau
     d_r = np.sqrt(
         np.maximum(C_scale * (a * ux * ux + 2 * b_ * ux * uy + c * uy * uy), 0.0)
@@ -131,6 +139,37 @@ def chi2_ellipse_uncertainties(
         baz_ci = np.degrees(np.arcsin(np.clip(d_t / smag, 0.0, 1.0)))
     baz_ci = np.where(d_t >= smag, 180.0, baz_ci)  # ellipse encloses origin
     return vel_ci, baz_ci
+
+
+def subset_normal_inverses(
+    X: np.ndarray,           # (P, 2) co-array
+    keep: np.ndarray,        # (..., P) bool: rows retained per window
+) -> np.ndarray:
+    """Per-window ``inv(X_kept^T X_kept)`` for LTS confidence ellipses.
+
+    The vendored ``lts_array`` derives the Szuberla & Olson ellipse from
+    the normal matrix of the RETAINED co-array rows, so windows with
+    flagged (excluded) elements get the wider ellipse their reduced
+    geometry implies; using the full-array inverse there understates the
+    CIs.  Degenerate subsets (rank < 2, < 3 rows) fall back to the full-
+    geometry inverse.  Host-side numpy, vectorized over windows.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    keep = np.asarray(keep, dtype=bool)
+    w = keep.astype(np.float64)                          # (..., P)
+    m00 = np.einsum("...p,p->...", w, X[:, 0] * X[:, 0])
+    m01 = np.einsum("...p,p->...", w, X[:, 0] * X[:, 1])
+    m11 = np.einsum("...p,p->...", w, X[:, 1] * X[:, 1])
+    det = m00 * m11 - m01 * m01
+    full_inv = np.linalg.inv(X.T @ X)
+    ok = (np.abs(det) > 1e-12) & (keep.sum(axis=-1) >= 3)
+    safe = np.where(ok, det, 1.0)
+    out = np.empty(keep.shape[:-1] + (2, 2), dtype=np.float64)
+    out[..., 0, 0] = np.where(ok, m11 / safe, full_inv[0, 0])
+    out[..., 0, 1] = np.where(ok, -m01 / safe, full_inv[0, 1])
+    out[..., 1, 0] = out[..., 0, 1]
+    out[..., 1, 1] = np.where(ok, m00 / safe, full_inv[1, 1])
+    return out
 
 
 def tree_sum_last(x: jnp.ndarray) -> jnp.ndarray:

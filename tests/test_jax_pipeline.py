@@ -93,6 +93,56 @@ class TestLtsvaParity:
         rv = vu90[good] / np.maximum(vu_lin[good], 1e-12)
         assert np.median(np.abs(rv - k)) < 0.35   # radial interval is asymmetric
 
+    def test_lts_chi2_ci_uses_retained_subset_geometry(self, outlier_stream):
+        """ADVICE r4: with ALPHA<1 the chi2-ellipse CIs come from the
+        retained co-array rows per window (the vendored lts_array
+        convention), so flagged windows report CIs at least as wide as the
+        full-geometry ellipse would claim."""
+        from narrow_band_least_squares_tpu.ops.solve import (
+            chi2_ellipse_uncertainties, subset_normal_inverses,
+        )
+
+        st = outlier_stream
+        filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)
+        stf = st.copy()
+        stf.data = filt
+        vel, baz, t, mdccm, stdict, sig_tau, vu, bu = api.ltsva(
+            stf, st.latitudes, st.longitudes, 30.0, 0.5, 0.75, conf=0.90
+        )
+        # full-geometry comparison values
+        rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+        from narrow_band_least_squares_tpu.utils.geometry import coarray
+        from narrow_band_least_squares_tpu.ops.solve import precompute_lstsq
+
+        X, pairs = coarray(rij)
+        full_inv = precompute_lstsq(X)["XtX_inv"]
+        vu_full, bu_full = chi2_ellipse_uncertainties(
+            vel, baz, sig_tau, full_inv, conf=0.90
+        )
+        # the outlier element is flagged on most windows -> subset CIs must
+        # be wider there (dropping rows can only grow the inverse)
+        assert np.all(vu >= vu_full - 1e-12)
+        assert np.all(bu >= bu_full - 1e-12)
+        assert np.any(vu > vu_full * 1.0001)
+
+        # helper unit check: keep-all reproduces the full inverse exactly
+        keep_all = np.ones((3, X.shape[0]), dtype=bool)
+        np.testing.assert_allclose(
+            subset_normal_inverses(X, keep_all),
+            np.broadcast_to(full_inv, (3, 2, 2)), rtol=1e-12,
+        )
+        # dropping rows grows the diagonal (less information)
+        keep = keep_all.copy()
+        keep[1, :4] = False
+        inv2 = subset_normal_inverses(X, keep)
+        assert inv2[1, 0, 0] > full_inv[0, 0]
+        assert inv2[1, 1, 1] > full_inv[1, 1]
+        # degenerate subset falls back to the full geometry
+        keep[2, :] = False
+        keep[2, 0] = True
+        inv3 = subset_normal_inverses(X, keep)
+        np.testing.assert_allclose(inv3[2], full_inv, rtol=1e-12)
+
     def test_lts_flags_match_oracle(self, outlier_stream):
         st = outlier_stream
         filt, _ = filter_and_taper(st.data, st.fs, "cheby1", 0.2, 1.2, 2, 0.01)
