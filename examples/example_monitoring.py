@@ -22,7 +22,10 @@ import matplotlib.pyplot as plt
 
 from narrow_band_least_squares_tpu.io import synthetic_plane_wave
 from narrow_band_least_squares_tpu.models.streaming import StreamingMonitor
-from narrow_band_least_squares_tpu.plotting import baz_freq_plot
+from narrow_band_least_squares_tpu.plotting import (
+    baz_freq_plot,
+    monitoring_uncertainty_plot,
+)
 from narrow_band_least_squares_tpu.utils.geometry import get_rij
 from narrow_band_least_squares_tpu.utils.plan import (
     get_freqlist,
@@ -58,12 +61,23 @@ def main():
     recs = mon.process(st)  # resume-aware
     print(f"processed {len(recs)} new segments (resume skips existing)")
 
-    vel, baz, mdccm, t, num = mon.read_all()
+    vel, baz, mdccm, t, num, extras = mon.read_all(extras=True)
     fig = baz_freq_plot(
         FMIN, fmax, nbands, freqlist, vel, baz, mdccm, t, num, MDCCM_THRESH
     )
     out = os.path.join(FIG_DIR, "Monitoring_Backazimuth_vs_Frequency.png")
     fig.savefig(out, dpi=200)
+    plt.close(fig)
+
+    # the npz sidecars carry what the TSV format cannot: per-window
+    # uncertainties (and LTS flags) for the long-duration raster
+    fig = monitoring_uncertainty_plot(
+        FMIN, fmax, nbands, freqlist, extras["vel_uncert"],
+        extras["baz_uncert"], mdccm, t, num, MDCCM_THRESH,
+        flags=extras.get("flags"),
+    )
+    out2 = os.path.join(FIG_DIR, "Monitoring_Uncertainty_vs_Frequency.png")
+    fig.savefig(out2, dpi=200)
     plt.close(fig)
 
     good = mdccm > MDCCM_THRESH

@@ -365,9 +365,20 @@ class StreamingMonitor:
         return SegmentRecord(t0, path_txt, path_npz)
 
     # ------------------------------------------------------------------
-    def read_all(self):
+    def read_all(self, extras: bool = False):
         """Concatenate all persisted segments (sorted by time) into dense
-        arrays shaped for `plotting.baz_freq_plot`."""
+        arrays shaped for `plotting.baz_freq_plot`.
+
+        ``extras=True`` additionally consumes each segment's compact .npz
+        sidecar — the quantities the TSV format cannot carry — and returns
+        a sixth element, a dict with ``sig_tau`` / ``vel_uncert`` /
+        ``baz_uncert`` dense ``(B, width)`` arrays and (LTS runs) the
+        ``(B, width, P)`` ``flags`` tensor, all concatenated with the same
+        per-band valid-prefix layout as vel/baz (feeds
+        `plotting.monitoring_uncertainty_plot`).  Segments persisted by
+        older versions without a sidecar contribute NaNs (and all-False
+        flags) so timelines stay aligned.
+        """
         names = sorted(
             f[:-4] for f in os.listdir(self.save_dir)
             if f.startswith("nbls_") and f.endswith(".txt")
@@ -387,4 +398,48 @@ class StreamingMonitor:
                 for dst, src in ((vel, s[0]), (baz, s[1]), (mdccm, s[2]), (t, s[3])):
                     dst[b, pos : pos + n_seg] = src[b, :n_seg]
                 pos += n_seg
-        return vel, baz, mdccm, t, [int(v) for v in num_total]
+        num_list = [int(v) for v in num_total]
+        if not extras:
+            return vel, baz, mdccm, t, num_list
+
+        zs = []
+        for n in names:
+            p = os.path.join(self.save_dir, n + ".npz")
+            if os.path.exists(p):
+                zs.append(np.load(p, allow_pickle=False))
+            else:
+                logger.warning("segment %s has no .npz sidecar; extras "
+                               "filled with NaN", n)
+                zs.append(None)
+        sig_tau, vel_uncert, baz_uncert = (
+            np.full((B, width), np.nan) for _ in range(3)
+        )
+        P = 0
+        for z in zs:
+            if z is not None and "flags" in z and z["flags"].ndim == 3:
+                P = int(z["flags"].shape[-1])
+                break
+        flags = np.zeros((B, width, P), dtype=bool) if P else None
+        for b in range(B):
+            pos = 0
+            for si, z in enumerate(zs):
+                n_seg = int(nums[si, b])
+                if z is not None:
+                    sig_tau[b, pos : pos + n_seg] = z["sig_tau"][b, :n_seg]
+                    if "vel_uncert" in z:
+                        vel_uncert[b, pos : pos + n_seg] = (
+                            z["vel_uncert"][b, :n_seg]
+                        )
+                        baz_uncert[b, pos : pos + n_seg] = (
+                            z["baz_uncert"][b, :n_seg]
+                        )
+                    if flags is not None and z["flags"].ndim == 3:
+                        flags[b, pos : pos + n_seg] = (
+                            z["flags"][b, :n_seg].astype(bool)
+                        )
+                pos += n_seg
+        ex = {"sig_tau": sig_tau, "vel_uncert": vel_uncert,
+              "baz_uncert": baz_uncert}
+        if flags is not None:
+            ex["flags"] = flags
+        return vel, baz, mdccm, t, num_list, ex

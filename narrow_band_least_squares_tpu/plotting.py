@@ -605,6 +605,72 @@ def narrow_band_lts_dropped_station_plot(FMIN, FMAX, st, NBANDS, freqlist,
     return fig
 
 
+def monitoring_uncertainty_plot(FMIN, FMAX, NBANDS, freqlist, vel_uncert,
+                                baz_uncert, mdccm_array, t_array,
+                                num_compute_list, MDCCM_THRESH,
+                                flags=None):
+    """Long-duration uncertainty (and LTS flag-fraction) rasters.
+
+    Beyond-reference companion to `baz_freq_plot` (same long-duration
+    semantics: per-band valid prefixes, MdCCM gating): scatters the
+    back-azimuth and velocity confidence half-widths of every confident
+    window against time, colored by band center frequency, plus — when an
+    LTS ``flags`` tensor ``(B, width, P)`` is given (`StreamingMonitor.
+    read_all(extras=True)`) — the flagged-pair fraction per window.  The
+    uncertainty quantities live only in the monitor's .npz sidecars (the
+    reference TSV format cannot carry them, reference helpers.py:161).
+    """
+    n_panels = 3 if flags is not None else 2
+    fig = plt.figure(figsize=(15, 3.5 * n_panels))
+    gs = gridspec.GridSpec(n_panels, 2, width_ratios=[3, 0.1])
+    axes = [fig.add_subplot(gs[i, 0]) for i in range(n_panels)]
+
+    sc = None
+    t_last = None
+    for b in range(NBANDS):
+        fmin_b = float(freqlist[b])
+        fmax_b = float(freqlist[b + 1])
+        favg = fmin_b + (fmax_b - fmin_b) / 2
+        mdccm = _valid(mdccm_array, b, num_compute_list)
+        bu = _valid(baz_uncert, b, num_compute_list)
+        vu = _valid(vel_uncert, b, num_compute_list)
+        t = _valid(t_array, b, num_compute_list)
+        sel = (mdccm > MDCCM_THRESH) & np.isfinite(bu) & np.isfinite(vu)
+        c = np.full(int(sel.sum()), favg)
+        sc = axes[0].scatter(t[sel], bu[sel], s=5, c=c,
+                             edgecolors="none", cmap="turbo")
+        sc.set_clim((FMIN, FMAX))
+        sc2 = axes[1].scatter(t[sel], vu[sel], s=5, c=c,
+                              edgecolors="none", cmap="turbo")
+        sc2.set_clim((FMIN, FMAX))
+        if flags is not None:
+            n = int(num_compute_list[b])
+            frac = np.asarray(flags[b, :n], dtype=float).mean(axis=-1)
+            sc3 = axes[2].scatter(t[sel], frac[sel], s=5, c=c,
+                                  edgecolors="none", cmap="turbo")
+            sc3.set_clim((FMIN, FMAX))
+        if len(t):
+            t_last = t
+
+    cax = fig.add_subplot(gs[:, 1])
+    if sc is not None:
+        fig.colorbar(sc, cax=cax, orientation="vertical")
+    cax.set_ylabel("Frequency [Hz]", **_LBL)
+
+    axes[0].set_ylabel("Baz CI [deg]", **_LBL)
+    axes[1].set_ylabel("Vel CI [km/s]", **_LBL)
+    if flags is not None:
+        axes[2].set_ylabel("Flagged-Pair Fraction", **_LBL)
+        axes[2].set_ylim(-0.02, 1.0)
+    axes[-1].set_xlabel("Time", **_LBL)
+    for ax in axes:
+        ax.xaxis_date()
+        if t_last is not None and len(t_last):
+            ax.set_xlim(t_last[0], t_last[-1])
+    fig.tight_layout()
+    return fig
+
+
 def baz_freq_plot(FMIN, FMAX, NBANDS, freqlist, vel_array, baz_array,
                   mdccm_array, t_array, num_compute_list, MDCCM_THRESH):
     """Long-duration back-azimuth vs time, colored by frequency
