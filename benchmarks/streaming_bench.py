@@ -161,6 +161,54 @@ def main():
         }
         print("monitoring", json.dumps(report["monitoring"]), flush=True)
 
+        # bf16 wire format: the loop is host->device-transfer-bound
+        # through the axon tunnel (~27-40 MB/s measured; a 16-segment
+        # float32 batch is 6.2 MB ~ 230 ms); bfloat16 halves the bytes.
+        # Accuracy is measured, not assumed: confident-window baz/flags
+        # vs the float32 run below.
+        save16 = tempfile.mkdtemp(prefix="nbls_streambench16_")
+        try:
+            mon16 = StreamingMonitor(plan, rij, save16, freqlist,
+                                     alpha=1.0, dispatch_segments=16,
+                                     transfer_dtype="bfloat16")
+            x16 = mon16.pipe.extend_segments(st.data, [0] * mon16.batch)
+            mon16.pipe.run_extended(x16)          # warm/compile
+            ing16 = StreamingIngest(
+                st.ids, fs=st.fs, segment_npts=seg_npts,
+                latitudes=st.latitudes, longitudes=st.longitudes,
+            )
+            t0 = time.perf_counter()
+            for _, rec in feed:
+                ing16.feed_records([rec])
+                for segment in ing16.ready_segments():
+                    mon16.submit(segment, resume=True)
+            done16 = len(mon16.flush())
+            t16 = time.perf_counter() - t0
+            v32, b32, m32, _, _ = monitor.read_all()
+            v16, b16, m16, _, _ = mon16.read_all()
+            good = (m32 > 0.6) & (m16 > 0.6)
+            dbaz = np.abs((b32[good] - b16[good] + 180.0) % 360.0 - 180.0)
+            report["monitoring_bf16"] = {
+                "segments": done16,
+                "sustained_windows_per_s": (
+                    done16 * windows_per_segment / t16
+                ),
+                "wall_s": t16,
+                "conf_windows_both": int(good.sum()),
+                "conf_flag_agreement": float(
+                    ((m32 > 0.6) == (m16 > 0.6)).mean()
+                ),
+                "baz_dev_deg_median": float(np.median(dbaz)),
+                "baz_dev_deg_max": float(dbaz.max()),
+                "vel_dev_kms_median": float(
+                    np.median(np.abs(v32[good] - v16[good]))
+                ),
+            }
+            print("monitoring_bf16", json.dumps(report["monitoring_bf16"]),
+                  flush=True)
+        finally:
+            shutil.rmtree(save16, ignore_errors=True)
+
         # resume: everything persisted -> a second pass must only skip
         t0 = time.perf_counter()
         recs = monitor.process(st, resume=True)

@@ -247,11 +247,12 @@ class RingBuffer:
 
     # -- native-or-numpy dispatch ----------------------------------------
     def append(self, chan: int, start: int, x: np.ndarray) -> None:
-        x = np.ascontiguousarray(x, dtype=np.float64)
+        if not (isinstance(x, np.ndarray) and x.dtype == np.float64
+                and x.flags.c_contiguous):
+            x = np.ascontiguousarray(x, dtype=np.float64)
         if self._h is not None:
             rc = self._lib.nbls_ring_append(
-                self._h, int(chan), int(start),
-                x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.size,
+                self._h, chan, start, x.ctypes.data, x.size,
             )
             if rc == -1:
                 raise ValueError("bad ring append arguments")
@@ -277,6 +278,28 @@ class RingBuffer:
         idx = np.arange(lo, end) % self.capacity
         self._data[chan, idx] = x[lo - start :]
         self._valid[chan, idx] = True
+
+    def append_batch(self, chans, starts, blocks) -> None:
+        """Append many records in one native call (the telemetry feed's
+        hot path — per-call Python/ctypes overhead, not the memcpy,
+        bounds the monitoring loop's feed cost).  ``blocks`` is a list of
+        per-record sample arrays matching ``chans``/``starts``."""
+        if self._h is None or len(blocks) <= 1:
+            for c, s, x in zip(chans, starts, blocks):
+                self.append(c, s, x)
+            return
+        lens = np.fromiter((len(b) for b in blocks), np.int64, len(blocks))
+        concat = np.concatenate(
+            [np.asarray(b, dtype=np.float64).ravel() for b in blocks]
+        )
+        ch = np.asarray(chans, dtype=np.int64)
+        st = np.asarray(starts, dtype=np.int64)
+        got = self._lib.nbls_ring_append_batch(
+            self._h, ch.ctypes.data, st.ctypes.data, lens.ctypes.data,
+            concat.ctypes.data, len(blocks),
+        )
+        if got < 0:
+            raise ValueError("bad ring append_batch arguments")
 
     @property
     def base(self) -> int:
@@ -384,16 +407,19 @@ class StreamingIngest:
         return self.feed_records(read_mseed_records(data))
 
     def feed_records(self, records: Sequence[MSRecord]) -> int:
+        chan = self._chan
+        fs = self.fs
         mine = [
             r for r in records
-            if r.sid in self._chan and abs(r.fs - self.fs) <= 1e-9
+            if r.sid in chan and abs(r.fs - fs) <= 1e-9
         ]
         self.dropped_records += len(records) - len(mine)
         if self._origin is None and mine:
             self._origin = min(r.t0 for r in mine)
-        n = 0
+        origin = self._origin
+        chans, starts, blocks = [], [], []
         for r in mine:
-            idx = int(round((r.t0 - self._origin) * self.fs))
+            idx = int(round((r.t0 - origin) * fs))
             if self._emitted and idx + len(r.samples) <= self._cursor - self.halo:
                 self.dropped_records += 1   # entirely before consumed data
                 continue
@@ -401,9 +427,13 @@ class StreamingIngest:
                 # earlier data than anything seen so far: re-anchor the
                 # segment grid at it (allowed until the first emission)
                 self._cursor = idx
-            self.ring.append(self._chan[r.sid], idx, r.samples)
-            n += 1
-        return n
+            chans.append(chan[r.sid])
+            starts.append(idx)
+            blocks.append(r.samples)
+        # one native call for the whole batch (order-preserving, so
+        # overlap semantics stay last-write-wins)
+        self.ring.append_batch(chans, starts, blocks)
+        return len(blocks)
 
     def feed_block(self, sid: str, t0_epoch: float, samples: np.ndarray) -> None:
         """Buffer a raw sample block (e.g. from a socket feed)."""

@@ -176,12 +176,16 @@ class StreamingMonitor:
             return 0
         self._queued.update(t0 for _, t0 in todo)
 
-        # halo-extended segments buffer until a super-batch fills; halos
-        # come from the raw stream so non-contiguous resume batches stay
-        # exact.  Every process sees the same todo (broadcast above), so
+        # segments buffer as (stream-data, offset) references until a
+        # super-batch fills; the halo-extended batch tensor is cut lazily
+        # at dispatch time (_extend_batch), so the host-side halo assembly
+        # of batch k+1 overlaps the device compute of batch k instead of
+        # serializing ahead of every dispatch.  Halos come from the raw
+        # stream (zeros before sample 0), so non-contiguous resume batches
+        # stay exact; the caller must not mutate st.data before the next
+        # flush().  Every process sees the same todo (broadcast above), so
         # batch boundaries are identical across processes.
-        rows = self.pipe.extend_segments(st.data, [off for off, _ in todo])
-        self._backlog.extend(zip(rows, (t0 for _, t0 in todo)))
+        self._backlog.extend((st.data, off, t0) for off, t0 in todo)
         while len(self._backlog) >= self.batch:
             self._dispatch(self._backlog[: self.batch])
             del self._backlog[: self.batch]
@@ -189,16 +193,34 @@ class StreamingMonitor:
                 self._drain_oldest()
         return len(todo)
 
+    def _extend_batch(self, items) -> np.ndarray:
+        """Cut halo-extended rows for a dispatch batch, vectorized per
+        contiguous same-stream run (items are (data, offset, t0))."""
+        outs = []
+        i = 0
+        while i < len(items):
+            data = items[i][0]
+            j = i
+            offs = []
+            while j < len(items) and items[j][0] is data:
+                offs.append(items[j][1])
+                j += 1
+            outs.append(self.pipe.extend_segments(data, offs))
+            i = j
+        return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
     def _dispatch(self, items):
         """One device dispatch of up to `self.batch` buffered segments."""
         real = len(items)
-        rows = [r for r, _ in items]
-        t0s = [t for _, t in items]
+        t0s = [t for _, _, t in items]
+        x_ext = self._extend_batch(items)
         if real < self.batch:
             # pad by repeating the last segment; padded outputs dropped
-            rows = rows + [rows[-1]] * (self.batch - real)
+            pad = np.broadcast_to(
+                x_ext[-1], (self.batch - real,) + x_ext.shape[1:]
+            )
+            x_ext = np.concatenate([x_ext, pad])
             t0s = t0s + [t0s[-1]] * (self.batch - real)
-        x_ext = np.stack(rows)
         import jax
 
         if jax.process_count() > 1:

@@ -47,9 +47,18 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.nbls_ring_create.argtypes = [ct.c_int64, ct.c_int64]
         lib.nbls_ring_destroy.restype = None
         lib.nbls_ring_destroy.argtypes = [ct.c_void_p]
+        # data pointer as c_void_p: the feed path passes ndarray.ctypes.data
+        # (a raw address) to skip per-call POINTER construction
         lib.nbls_ring_append.restype = ct.c_int
         lib.nbls_ring_append.argtypes = [
-            ct.c_void_p, ct.c_int64, ct.c_int64, dp, ct.c_int64,
+            ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_int64,
+        ]
+        # hot feed-path calls take raw addresses (c_void_p) so Python can
+        # pass ndarray.ctypes.data without building POINTER objects
+        lib.nbls_ring_append_batch.restype = ct.c_int64
+        lib.nbls_ring_append_batch.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_int64,
         ]
         lib.nbls_ring_base.restype = ct.c_int64
         lib.nbls_ring_base.argtypes = [ct.c_void_p]

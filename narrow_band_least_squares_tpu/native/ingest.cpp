@@ -570,12 +570,43 @@ int nbls_ring_append(void* h, int64_t chan, int64_t start, const double* x,
     if (end <= r->base) return -2;
     if (end > r->hi) r->hi = end;
     int64_t lo = start < r->base ? r->base : start;
-    for (int64_t i = lo; i < end; ++i) {
-        size_t pos = (size_t)(chan * r->cap + rpos(i, r->cap));
-        r->data[pos] = x[i - start];
-        r->valid[pos] = 1;
+    // contiguous spans (at most one wrap) instead of a per-sample
+    // modulo walk: the feed path is called per telemetry record
+    double* dch = r->data.data() + chan * r->cap;
+    uint8_t* vch = r->valid.data() + chan * r->cap;
+    int64_t i = lo;
+    while (i < end) {
+        int64_t p = rpos(i, r->cap);
+        int64_t span = end - i;
+        if (span > r->cap - p) span = r->cap - p;
+        std::memcpy(dch + p, x + (i - start), (size_t)span * sizeof(double));
+        std::memset(vch + p, 1, (size_t)span);
+        i += span;
     }
     return 0;
+}
+
+// Append a whole batch of records in one call: record r carries lens[r]
+// samples of channel chans[r] starting at absolute index starts[r]; the
+// sample payloads ride concatenated in `samples`.  One library call per
+// telemetry batch instead of one per record — the Python/ctypes call
+// overhead dominated the monitoring feed path (BENCH_STREAMING feed_s).
+// Returns the number of records accepted (too-old records are skipped,
+// matching nbls_ring_append's -2), or -1 on bad args.
+int64_t nbls_ring_append_batch(void* h, const int64_t* chans,
+                               const int64_t* starts, const int64_t* lens,
+                               const double* samples, int64_t nrec) {
+    Ring* r = (Ring*)h;
+    if (!r || nrec < 0) return -1;
+    int64_t off = 0, ok = 0;
+    for (int64_t k = 0; k < nrec; ++k) {
+        int rc = nbls_ring_append(h, chans[k], starts[k], samples + off,
+                                  lens[k]);
+        if (rc == -1) return -1;
+        if (rc == 0) ++ok;
+        off += lens[k];
+    }
+    return ok;
 }
 
 int64_t nbls_ring_base(void* h) { return ((Ring*)h)->base; }

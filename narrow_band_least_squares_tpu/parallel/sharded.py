@@ -128,6 +128,16 @@ class ShardedNarrowBandPipeline:
         xcorr_lag_tile: int = 512,
         band_limit_db=0.0,          # float dB or "auto" (BT-aware)
         mesh_shape: Optional[Tuple[int, int]] = None,
+        transfer_dtype=None,        # host->device wire dtype for segment
+        #   streams; 'bfloat16' halves the bytes shipped per batch (the
+        #   monitoring loop is host->device-bandwidth-bound through a
+        #   remote tunnel: ~27-40 MB/s measured on axon, so a 16-segment
+        #   6.2 MB float32 batch costs ~230 ms before any compute).  The
+        #   device upcasts to `dtype` before filtering, so only the raw
+        #   sample quantization (8-bit mantissa, ~0.4% per sample) is
+        #   affected — delay estimation averages it out (measured: same
+        #   confident-window flags/baz on the monitoring workload,
+        #   BENCH_STREAMING.json transfer_bf16).  None = `dtype` (exact).
     ):
         self.mesh = mesh
         if mesh is None:
@@ -186,6 +196,10 @@ class ShardedNarrowBandPipeline:
         self.plan = plan
         self.alpha = float(alpha)
         self.dtype = dtype
+        self.transfer_dtype = np.dtype(
+            jnp.bfloat16 if transfer_dtype in ("bfloat16", "bf16")
+            else (transfer_dtype or dtype)
+        )
         self.max_lag_s = max_lag_s
 
         L = base._h_bank.shape[1]
@@ -409,6 +423,8 @@ class ShardedNarrowBandPipeline:
                 ]
 
         def seg_step(x_ext, consts):
+            # wire dtype (transfer_dtype, e.g. bf16) -> compute dtype
+            x_ext = x_ext.astype(base.dtype)
             h_bank = consts["h_bank"] if consts else base._h_bank
             y = F.filter_bank_fft(x_ext, h_bank, None, nfft_ext, base.zerophase)
             y = y[..., halo:] * base._taper[None, None, :]
@@ -615,7 +631,9 @@ class ShardedNarrowBandPipeline:
         """
         C, T = data.shape
         Tseg, halo = self.plan.npts, self.halo
-        out = np.zeros((len(offsets), C, halo + Tseg), dtype=np.float32)
+        out = np.zeros(
+            (len(offsets), C, halo + Tseg), dtype=self.transfer_dtype
+        )
         for i, off in enumerate(offsets):
             lo = max(0, off - halo)
             out[i, :, halo - (off - lo):halo] = data[:, lo:off]
@@ -654,7 +672,7 @@ class ShardedNarrowBandPipeline:
         """
         self._require_mesh()
         x = jax.device_put(
-            np.asarray(x_ext, dtype=np.dtype(self.dtype)),
+            np.asarray(x_ext, dtype=self.transfer_dtype),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         return self._step_ext_packed(x, self._consts)

@@ -147,6 +147,28 @@ def test_overlapping_submit_no_duplicates(monitor_setup, tmp_path):
     assert len(files) == n
 
 
+def test_bfloat16_transfer_mode(monitor_setup, tmp_path):
+    """transfer_dtype='bfloat16' (half the host->device bytes; the
+    monitoring loop is transfer-bound through a remote tunnel) quantizes
+    only the raw input samples — confident-window results stay within the
+    input-noise envelope of the exact float32 wire format."""
+    st, mon, _ = monitor_setup
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
+        alpha=1.0, transfer_dtype="bfloat16",
+    )
+    assert mon2.pipe.transfer_dtype.itemsize == 2
+    mon2.process(st)
+    v1, b1, m1, t1, n1 = mon.read_all()      # float32 wire (session fixture)
+    v2, b2, m2, t2, n2 = mon2.read_all()
+    assert n1 == n2
+    good = (m1 > 0.6) & (m2 > 0.6)
+    assert good.sum() > 10
+    d = np.abs((b1[good] - b2[good] + 180.0) % 360.0 - 180.0)
+    assert np.median(d) < 1.0 and d.max() < 10.0
+    assert np.median(np.abs(v1[good] - v2[good])) < 0.01
+
+
 def test_lts_monitor_persists_flags(monitor_setup, tmp_path):
     """LTS mode through the packed async path: flags ride as the second
     fetch and land in the per-segment npz."""
