@@ -101,6 +101,15 @@ def cost_and_mfu(pipe, x, t_step):
     BASELINE's "batched solve step at speed-of-light per chip" measurement
     point: report the absolute FLOP rate and its fraction of the bf16 MXU
     peak so a reader can tell roofline-near from 5x-off (VERDICT r1 item 4).
+
+    NOTE (VERDICT r4 item 2): ``cost_model_bytes_accessed`` is XLA's
+    static cost model, which counts a buffer once PER CONSUMING FUSION —
+    re-reads of the same HBM-resident tensor accumulate, so the figure
+    exceeds true HBM traffic (rounds 2-4 divided it by step time and got
+    "hbm_bound_pct" > 100%, which is impossible physics).  Bandwidth
+    claims now come from `profile_measured` (hardware-counter HBM bytes
+    via a jax.profiler device trace); the cost-model value is kept only
+    as a FLOP source and fusion-pressure indicator.
     """
     import jax
 
@@ -112,7 +121,11 @@ def cost_and_mfu(pipe, x, t_step):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         out["flops_per_step"] = flops
-        out["bytes_accessed_per_step"] = float(ca.get("bytes accessed", 0.0))
+        out["cost_model_bytes_accessed"] = float(ca.get("bytes accessed", 0.0))
+        out["cost_model_bytes_note"] = (
+            "XLA static model; counts re-reads per consuming fusion, "
+            "exceeds true HBM traffic - see measured.hbm_* for bandwidth"
+        )
         out["achieved_tflops_per_s"] = flops / t_step / 1e12
         kind = jax.devices()[0].device_kind.lower()
         peak = next(
@@ -121,13 +134,107 @@ def cost_and_mfu(pipe, x, t_step):
         if peak:
             out["peak_bf16_tflops"] = peak / 1e12
             out["mfu_pct"] = 100.0 * flops / t_step / peak
-            hbm_gbps = 819e9  # v5e HBM bandwidth; roofline context
-            out["hbm_bound_pct"] = (
-                100.0 * out["bytes_accessed_per_step"] / t_step / hbm_gbps
-            )
     except Exception as e:  # cost model is best-effort, never fail the bench
         out["cost_analysis_error"] = str(e)
     return out
+
+
+_XPLANE_PARSER = r"""
+import glob, json, sys
+from tensorflow.python.profiler.internal import _pywrap_profiler_plugin as pp
+xs = sorted(glob.glob(sys.argv[1] + "/plugins/profile/*/*.xplane.pb"))
+data, _ = pp.xspace_to_tools_data([xs[-1]], "op_profile", {})
+d = json.loads(data if isinstance(data, str) else bytes(data).decode())
+m = d["byCategoryExcludeIdle"]["metrics"]
+print(json.dumps({
+    "flops_frac": m.get("flops", 0.0),
+    "bw_utils": m.get("bandwidthUtils", []),
+    "raw_time_ps": m.get("rawTime", 0),
+    "raw_flops": m.get("rawFlops", 0),
+    "raw_bytes": m.get("rawBytesAccessedArray", []),
+}))
+"""
+
+
+def profile_measured(pipe, x, n_chain=30):
+    """Hardware-measured MFU / HBM traffic for one step (VERDICT r4 item 2).
+
+    Captures a `jax.profiler` device trace of `n_chain` chained steps and
+    reads the TPU op profile (hardware counters, not the XLA cost model):
+    time-weighted FLOP utilization, HBM bandwidth utilization, and actual
+    HBM bytes moved.  The xplane conversion runs in a subprocess so
+    TensorFlow (which ships the parser) never loads into the benchmark
+    process.  Best-effort: returns {"error": ...} when profiling or
+    parsing is unavailable.
+    """
+    import glob
+    import json as _json
+    import shutil
+    import subprocess
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    step = pipe._make_step()
+
+    def chained(x):
+        def body(i, carry):
+            x, acc = carry
+            out = step(x + acc * 1e-20)
+            return (x, acc + jnp.sum(out["vel"]))
+
+        _, acc = jax.lax.fori_loop(0, n_chain, body, (x, jnp.float32(0)))
+        return acc
+
+    f = jax.jit(chained)
+    d = tempfile.mkdtemp(prefix="nbls_prof_")
+    try:
+        jax.block_until_ready(f(x))          # warm outside the trace
+        with jax.profiler.trace(d):
+            jax.block_until_ready(f(x))
+        if not glob.glob(d + "/plugins/profile/*/*.xplane.pb"):
+            return {"error": "no xplane produced (profiler unsupported?)"}
+        proc = subprocess.run(
+            [sys.executable, "-c", _XPLANE_PARSER, d],
+            capture_output=True, text=True, timeout=300,
+        )
+        if proc.returncode != 0:
+            return {"error": f"xplane parse failed: {proc.stderr[-400:]}"}
+        m = _json.loads(proc.stdout.strip().splitlines()[-1])
+        busy_s = m["raw_time_ps"] * 1e-12
+        hbm_bytes = m["raw_bytes"][0] if m["raw_bytes"] else 0
+        out = {
+            "source": "jax.profiler device trace -> TPU op_profile "
+                      "(hardware counters; n_chain=%d)" % n_chain,
+            # per-op hardware FLOP utilization as the profiler reports it;
+            # matmul_precision='high' issues 3 bf16 passes per logical f32
+            # matmul, so this sits ~3x above the logical MFU below
+            "hw_flop_util_pct": 100.0 * m["flops_frac"],
+            "measured_hbm_util_pct": (
+                100.0 * m["bw_utils"][0] if m["bw_utils"] else None
+            ),
+            "device_busy_s_per_step": busy_s / n_chain,
+            "hbm_bytes_per_step": hbm_bytes / n_chain,
+        }
+        if busy_s > 0:
+            out["measured_hbm_gbps"] = hbm_bytes / busy_s / 1e9
+            out["measured_tflops_per_s"] = m["raw_flops"] / busy_s / 1e12
+            kind = jax.devices()[0].device_kind.lower()
+            peak = next(
+                (v for k, v in _PEAK_BF16_FLOPS.items() if k in kind), None
+            )
+            if peak:
+                # logical flops / bf16 peak: same definition as cost-model
+                # mfu_pct (raw_flops matches XLA's logical flop count)
+                out["measured_mfu_pct"] = (
+                    100.0 * m["raw_flops"] / busy_s / peak
+                )
+        return out
+    except Exception as e:
+        return {"error": str(e)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bench_chained(pipe, x, n_chain=10, repeats=5):
@@ -224,6 +331,9 @@ def main():
                                     "rounds 1-3 reported raw n_chain=10"}
     details["ols_solves_per_s_per_chip"] = n_solves / t_ols
     details["ols_cost"] = cost_and_mfu(pipe, x, t_ols)
+    details["ols_measured"] = profile_measured(pipe, x)
+    print(f"bench: ols measured {json.dumps(details['ols_measured'])}",
+          file=sys.stderr, flush=True)
 
     # numerical sanity vs oracle on confident windows
     y = pipe.run_raw(st.data)
@@ -239,6 +349,7 @@ def main():
     details["tpu_lts_s"] = t_lts
     details["lts_solves_per_s_per_chip"] = n_solves / t_lts
     details["lts_cost"] = cost_and_mfu(pipe_lts, x, t_lts)
+    details["lts_measured"] = profile_measured(pipe_lts, x)
 
     # dense band sweep (50 log bands) on one chip
     from narrow_band_least_squares_tpu.utils.plan import (
@@ -254,6 +365,7 @@ def main():
     details["tpu_dense50_s"] = t50
     details["dense50_solves_per_s_per_chip"] = sum(plan50.num_compute_list) / t50
     details["dense50_cost"] = cost_and_mfu(pipe50, x, t50)
+    details["dense50_measured"] = profile_measured(pipe50, x, n_chain=10)
 
     # production mode: passband-bin xcorr (opt-in; measured accuracy
     # envelopes in BENCH_BANDLIMIT.json / the pipeline docstring)

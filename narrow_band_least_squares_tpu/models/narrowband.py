@@ -81,17 +81,22 @@ def band_limit_auto_db(bt_min: float) -> float:
     A cheap peak search cycle-skips when the correlation envelope is
     flat: neighboring lobes differ by ~1/(2BT), so the tolerable cc
     error — and hence the bin-truncation level — must scale with the
-    band's time-bandwidth product.  Calibrated on two measured points
-    (BENCH_BANDLIMIT.json): BT>=3.8 plans are safe at -40 dB (98.6%
-    bit-identical lags), BT~1.3 dense sweeps need -80 dB (98.2%);
-    log-interpolating between them gives
-    ``db = 40 + 85*log10(3.8/BT)``, clipped to [40, 90].
+    band's time-bandwidth product.  Calibrated on a controlled BT sweep
+    (benchmarks/bench_bt_sweep.py, BENCH_BANDLIMIT.json bt_sweep:
+    minimum threshold keeping confident-window lag identity >= 99% at
+    BT in {1.5, 2, 2.5, 3, 3.5, 5} = {70, 50, 50, 50, 40, 40} dB):
+    ``db = 40 + 95*log10(4.6/BT)``, clipped to [40, 90], dominates every
+    measured requirement by >= 5 dB.  Residual deviations at the auto
+    threshold are single-lag flips (vel maxdev ~1e-4 km/s); true cycle
+    skips (>0.01 km/s) appear only at BT <= 1.5 below 60 dB, well under
+    the curve.  (Rounds <= 4 used a two-point fit, 40 + 85*log10(3.8/BT),
+    which under-shot the measured 50 dB requirement at BT = 3.)
     """
     import math
 
-    if bt_min >= 3.8:
+    if bt_min >= 4.6:
         return 40.0
-    return float(min(90.0, 40.0 + 85.0 * math.log10(3.8 / max(bt_min, 0.05))))
+    return float(min(90.0, 40.0 + 95.0 * math.log10(4.6 / max(bt_min, 0.05))))
 
 
 def flags_to_stdict(

@@ -572,19 +572,63 @@ class TestBandLimitedXcorr:
 
 def test_band_limit_auto_scales_with_bt():
     """'auto' keeps -40 dB for healthy-BT plans and tightens toward
-    -90 dB for very-low-BT bands (models.narrowband.band_limit_auto_db,
-    calibrated on BENCH_BANDLIMIT.json)."""
+    -90 dB for very-low-BT bands; the curve must dominate every measured
+    requirement of the BT sweep by >= 5 dB (benchmarks/bench_bt_sweep.py,
+    BENCH_BANDLIMIT.json bt_sweep)."""
     from narrow_band_least_squares_tpu.models.narrowband import (
         band_limit_auto_db,
     )
 
     assert band_limit_auto_db(5.0) == 40.0
-    assert band_limit_auto_db(3.8) == 40.0
-    mid = band_limit_auto_db(2.0)
+    # measured minimum threshold for >=99% conf-window lag identity
+    required = {1.5: 70.0, 2.0: 50.0, 2.5: 50.0, 3.0: 50.0,
+                3.5: 40.0, 5.0: 40.0}
+    for bt, need in required.items():
+        assert band_limit_auto_db(bt) >= need + 5.0 or (
+            need == 40.0 and band_limit_auto_db(bt) >= 40.0
+        ), (bt, band_limit_auto_db(bt), need)
     low = band_limit_auto_db(1.3)
-    assert 40.0 < mid < low <= 90.0
-    assert abs(low - 79.6) < 2.0       # the measured dense50 point
+    assert band_limit_auto_db(2.0) < low <= 90.0
     assert band_limit_auto_db(0.01) == 90.0
+
+
+@pytest.mark.parametrize("bt", [1.5, 2.0, 2.5, 3.0, 3.5, 5.0])
+def test_band_limit_auto_meets_identity_target_on_bt_sweep(bt):
+    """VERDICT r4 item 3: at every sweep BT, the auto threshold keeps
+    confident-window lag identity high and cycle-skip-free vs the exact
+    all-bins pipeline (same construction as benchmarks/bench_bt_sweep.py
+    — contiguous linear bands of width BT/winlen — on a shorter stream;
+    the >= 99% identity criterion itself is asserted at bench scale,
+    BENCH_BANDLIMIT.json bt_sweep auto_meets_target, where the window
+    sample is 2x this test's ~150 and single-lag flips average out)."""
+    from narrow_band_least_squares_tpu.io.synthetic import (
+        synthetic_plane_wave,
+    )
+    from narrow_band_least_squares_tpu.models.narrowband import (
+        NarrowBandPipeline,
+    )
+    from narrow_band_least_squares_tpu.utils.geometry import get_rij
+    from narrow_band_least_squares_tpu.utils.plan import make_plan
+
+    fs, winlen = 20.0, 30.0
+    st = synthetic_plane_wave(
+        nchans=8, duration_s=600.0, fs=fs, baz_deg=230.0,
+        trace_vel_kms=0.34, f0=0.8, bandwidth=1.2, snr=8.0, seed=42,
+    )
+    bw = bt / winlen
+    freqlist = [0.45 + k * bw for k in range(5)]
+    plan = make_plan(freqlist, "linear", [winlen] * 4, 0.5, st.npts, fs)
+    rij = get_rij(st.latitudes, st.longitudes, st.nchans)
+    exact = NarrowBandPipeline(plan, rij, alpha=1.0)
+    auto = NarrowBandPipeline(plan, rij, alpha=1.0, band_limit_db="auto")
+    a = {k: np.asarray(v) for k, v in exact.run_raw(st.data).items()}
+    b = {k: np.asarray(v) for k, v in auto.run_raw(st.data).items()}
+    good = a["mdccm"] > 0.6
+    assert good.sum() > 40
+    ident = float(np.mean(a["vel"][good] == b["vel"][good]))
+    assert ident >= 0.97, (bt, ident)
+    # residual flips are single-lag, not cycle skips
+    assert np.max(np.abs(a["vel"][good] - b["vel"][good])) < 0.01
 
 
 def test_band_limit_auto_pipeline(small_stream):
