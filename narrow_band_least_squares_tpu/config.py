@@ -81,7 +81,9 @@ class NBLSConfig:
     window_method: str = "strided"  # 'strided' | 'gather' | 'patches'
     max_lag_s: Optional[float] = None   # physical lag cap [s] (None = full)
     matmul_precision: str = "high"  # 'highest' | 'high' (bf16x3) | 'default'
-    lts_funnel_k: int = 0           # FAST-LTS funnel (0 = exact all-candidate)
+    lts_funnel_k: object = 0        # FAST-LTS funnel top-K; 0 = exact
+    #   all-candidate, 'auto' = max(16, ceil(Q/24)) (measured exact on
+    #   confident windows, BENCH_LTS_FUNNEL.json)
     xcorr_chunk_mb: float = 16.0    # per-chunk cc-tensor budget (0 = off)
     xcorr_lag_tile: int = 512       # lag-axis tile of the inverse DFT (0 = off)
     band_limit_db: object = 0.0     # >0 dB or "auto": passband-bin xcorr

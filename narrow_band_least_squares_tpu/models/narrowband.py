@@ -170,7 +170,15 @@ class NarrowBandPipeline:
         max_lag_s: float = None,  # cap the lag search to +-max_lag_s seconds
         matmul_precision: str = "high",  # 'highest'|'high'(bf16x3, ~f32-acc)|'default'
         lts_candidate_chunk: int = 0,    # >0: bound LTS memory for large arrays
-        lts_funnel_k: int = 0,           # >0: FAST-LTS funnel (top-K survivors)
+        lts_funnel_k: int = 0,           # >0: FAST-LTS funnel (top-K
+        #   survivors after one C-step on all candidates); 'auto' picks
+        #   max(16, ceil(Q/24)) — measured on canonical8/dense50/lowbt
+        #   (P=28) and clean P=66/P=120 arrays: k=16 already reproduces
+        #   exhaustive LTS exactly on every CONFIDENT (mdccm>0.6) window
+        #   (worst conf-window vel dev 2.9e-4 km/s, dense50; deviations
+        #   beyond that exist only on non-confident windows whose LTS
+        #   objective is flat), and the Q/24 scaling keeps proportional
+        #   headroom for larger co-arrays (BENCH_LTS_FUNNEL.json).
         subsample_delays: bool = False,  # parabolic sub-sample lag refinement
         bucket_bands: bool = True,       # compact per-winlen-bucket xcorr grids
         bucket_ratio: float = 1.3,       # (legacy knob; grouping is cost-based)
@@ -208,7 +216,9 @@ class NarrowBandPipeline:
         self.dtype = dtype
         self.c_steps = c_steps
         self.lts_candidate_chunk = lts_candidate_chunk
-        self.lts_funnel_k = int(lts_funnel_k)
+        self.lts_funnel_k = (
+            "auto" if lts_funnel_k == "auto" else int(lts_funnel_k)
+        )
         self.subsample_delays = subsample_delays
         # XLA's fusion/tiling of the masked-argmax over the (B, W, P, nlag)
         # correlation tensor falls off a cliff once the tensor passes a few
@@ -244,11 +254,15 @@ class NarrowBandPipeline:
             self._Ainv = jnp.asarray(cinfo["Ainv"], dtype)
             self._cand_ok = jnp.asarray(cinfo["ok"])
             self.h = LTS.lts_h(self.alpha, X.shape[0])
+            if self.lts_funnel_k == "auto":
+                self.lts_funnel_k = max(16, -(-len(cinfo["cand"]) // 24))
             # full enumeration is the default; for large arrays bound the
             # (B, W, Q, ...) sweep memory by chunking the candidate axis
             # (identical results) instead of dropping candidates
             if not self.lts_candidate_chunk and len(cinfo["cand"]) > 4096:
                 self.lts_candidate_chunk = 4096
+        elif self.lts_funnel_k == "auto":
+            self.lts_funnel_k = 0      # OLS: no LTS sweep to funnel
 
         # ---- filter bank (host design) ----
         self.zerophase = filter_type == "butter"

@@ -86,6 +86,25 @@ class TestP66:
         )
         assert (a["flags"][good] == b["flags"][good]).mean() > 0.98
 
+    def test_funnel_auto_resolution_and_safety(self):
+        """lts_funnel_k='auto' resolves to max(16, ceil(Q/24)) and keeps
+        confident-window results within the measured production bound
+        (conf-window vel dev < 0.01 km/s; BENCH_LTS_FUNNEL.json — the
+        measured worst case is 2.9e-4 on dense50, exact elsewhere)."""
+        st, plan, rij = _build(12, outliers=(3,))
+        auto = NarrowBandPipeline(plan, rij, alpha=0.75, lts_funnel_k="auto")
+        Q = auto._cand.shape[0]
+        assert auto.lts_funnel_k == max(16, -(-Q // 24))
+        exact = NarrowBandPipeline(plan, rij, alpha=0.75)
+        a = {k: np.asarray(v) for k, v in exact.run_raw(st.data).items()}
+        b = {k: np.asarray(v) for k, v in auto.run_raw(st.data).items()}
+        good = a["mdccm"] > 0.6
+        assert good.sum() >= 15
+        assert np.max(np.abs(a["vel"][good] - b["vel"][good])) < 0.01
+        # OLS mode: 'auto' resolves to 0 (no LTS sweep exists)
+        ols = NarrowBandPipeline(plan, rij, alpha=1.0, lts_funnel_k="auto")
+        assert ols.lts_funnel_k == 0
+
 
 class TestP120Subsampled:
     """16 elements -> P=120 pairs; C(120,2)=7140 > max_lts_candidates=4096

@@ -215,15 +215,20 @@ class TestOptimizedShardedPath:
         assert np.median(d) < 5.0
 
     def test_lts_funnel_band_sharded(self, long_stream):
+        """Funnel LTS under band sharding is EXACTLY the sequential
+        program's answer (VERDICT r4 item 1: formerly a 0.999 tolerance
+        with no justification).  tau is integer-derived and the funnel's
+        objective/top-k run on fixed-tree reductions behind an
+        optimization barrier (ops.lts.lts_solve), so candidate selection
+        — funnel or exhaustive — cannot differ across program shapes;
+        measured agreement on this workload is bitwise."""
         pipe, segs = _build(
             long_stream, alpha=0.75, nt=2, nb=4, lts_funnel_k=8,
         )
         sharded = pipe.run(segs)
         seq = pipe.run_reference_sequential(segs)
-        np.testing.assert_allclose(
-            sharded["vel"], seq["vel"], rtol=1e-4, atol=1e-4
-        )
-        assert (sharded["flags"] == seq["flags"]).mean() > 0.999
+        np.testing.assert_array_equal(sharded["vel"], seq["vel"])
+        np.testing.assert_array_equal(sharded["flags"], seq["flags"])
 
     def test_unbucketed_global_mode(self, long_stream):
         pipe, segs = _build(
