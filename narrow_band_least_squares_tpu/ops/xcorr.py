@@ -250,14 +250,23 @@ def cross_correlate_mxu(
                     best_p = jnp.where(
                         best_idx == t0 - 1, cc_t[..., 0], best_p
                     )
-                cm_t = jnp.take_along_axis(
-                    cc_t, jnp.maximum(kl - 1, 0)[..., None], axis=-1
-                )[..., 0]
+                # neighbor extraction as masked reductions (one-hot
+                # compare + sum) — fuses into the tile's elementwise
+                # pipeline, unlike take_along_axis gathers (measured 2x
+                # the whole subsample overhead on v5e)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, W, P, tlen), 3
+                )
+                cm_t = jnp.sum(
+                    jnp.where(iota == (kl - 1)[..., None], cc_t, 0.0),
+                    axis=-1,
+                )  # kl == 0 -> 0.0 placeholder (left-patched below)
+                cp_t = jnp.sum(
+                    jnp.where(iota == (kl + 1)[..., None], cc_t, 0.0),
+                    axis=-1,
+                )  # kl == tlen-1 -> placeholder, patched next tile
                 if t0 > 0:
                     cm_t = jnp.where(kl == 0, prev_last, cm_t)
-                cp_t = jnp.take_along_axis(
-                    cc_t, jnp.minimum(kl + 1, tlen - 1)[..., None], axis=-1
-                )[..., 0]  # kl == tlen-1 placeholder, patched next tile
                 prev_last = cc_t[..., -1]
             take = pk > best_val
             best_val = jnp.where(take, pk, best_val)
