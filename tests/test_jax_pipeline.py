@@ -35,16 +35,17 @@ class TestFilterParity:
         scale = np.max(np.abs(ref))
         assert np.max(np.abs(got.data - ref)) < 2e-4 * scale
 
-    def test_butter_zerophase_close_in_interior(self, small_stream):
+    def test_butter_zerophase_matches_finite_two_pass(self, small_stream):
+        """Zero-phase butter is ObsPy's FINITE two-pass exactly (VERDICT
+        r4 missing #2): sosfilt forward, truncate to the array, reverse,
+        sosfilt, reverse — including the truncated trailing-edge ringing
+        that the old |H|^2 (infinite-padding) form kept.  Compared over
+        the FULL array, edges included."""
         st = small_stream
         ref, _ = filter_and_taper(st.data, st.fs, "butter", 0.3, 1.2, 2, 0.01)
         got, _, _ = api.filter_data(st, "butter", 0.3, 1.2, 2, 0.01)
-        # |H|^2 zerophase differs from finite two-pass only near the trailing
-        # edge (truncated ringing); compare the interior 80%.
-        T = st.npts
-        i0, i1 = T // 10, (9 * T) // 10
         scale = np.max(np.abs(ref))
-        assert np.max(np.abs(got.data[:, i0:i1] - ref[:, i0:i1])) < 5e-3 * scale
+        assert np.max(np.abs(got.data - ref)) < 3e-4 * scale
 
 
 class TestLtsvaParity:
