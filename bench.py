@@ -41,6 +41,12 @@ def build_canonical():
     return st, plan, freqlist, winlens, rij, nbands
 
 
+def _timed(fn, *args, **kwargs):
+    t0 = time.perf_counter()
+    fn(*args, **kwargs)
+    return time.perf_counter() - t0
+
+
 def bench_cpu_reference(st, freqlist, winlens, nbands):
     """Times three CPU baselines, strongest last (VERDICT r1: no strawman):
 
@@ -63,12 +69,19 @@ def bench_cpu_reference(st, freqlist, winlens, nbands):
     t0 = time.perf_counter()
     out = narrow_band_least_squares_oracle(*args)
     t_time = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    narrow_band_least_squares_oracle(*args, xcorr_method="fft")
-    t_fft = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    narrow_band_least_squares_oracle(*args, xcorr_method="fft", n_jobs=-1)
-    t_par = time.perf_counter() - t0
+    # min-of-3 on the baselines that set the headline: this 2-core host's
+    # background load wobbled single-shot timings by ~1.7x across rounds
+    # (0.38-0.67 core-s/run for the identical computation); the minimum is
+    # the least-contended estimate, same convention as the TPU timings
+    t_fft = min(
+        _timed(narrow_band_least_squares_oracle, *args, xcorr_method="fft")
+        for _ in range(3)
+    )
+    t_par = min(
+        _timed(narrow_band_least_squares_oracle, *args, xcorr_method="fft",
+               n_jobs=-1)
+        for _ in range(3)
+    )
     ncores = multiprocessing.cpu_count()
     times = {
         "cpu_reference_s": t_time,
