@@ -712,7 +712,7 @@ class ShardedNarrowBandPipeline:
         """
         self._require_mesh()
         x = jax.device_put(
-            np.asarray(segments, dtype=np.dtype(self.dtype)),
+            np.asarray(segments, dtype=self.transfer_dtype),
             NamedSharding(self.mesh, P(TIME_AXIS, None, None)),
         )
         out = self._step(x, self._consts)
