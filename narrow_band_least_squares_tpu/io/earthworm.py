@@ -272,7 +272,7 @@ def gather_waveforms_earthworm(
 
     if remove_response:
         from narrow_band_least_squares_tpu.io.response import (
-            parse_stationxml, remove_response as _deconvolve,
+            remove_response as _deconvolve,
         )
 
         responses = _load_responses(

@@ -284,7 +284,12 @@ class RingBuffer:
         hot path — per-call Python/ctypes overhead, not the memcpy,
         bounds the monitoring loop's feed cost).  ``blocks`` is a list of
         per-record sample arrays matching ``chans``/``starts``."""
-        if self._h is None or len(blocks) <= 1:
+        batch_fn = (
+            getattr(self._lib, "nbls_ring_append_batch", None)
+            if self._h is not None else None
+        )
+        if batch_fn is None or len(blocks) <= 1:
+            # numpy ring, single record, or a pre-batch-API native .so
             for c, s, x in zip(chans, starts, blocks):
                 self.append(c, s, x)
             return
@@ -294,7 +299,7 @@ class RingBuffer:
         )
         ch = np.asarray(chans, dtype=np.int64)
         st = np.asarray(starts, dtype=np.int64)
-        got = self._lib.nbls_ring_append_batch(
+        got = batch_fn(
             self._h, ch.ctypes.data, st.ctypes.data, lens.ctypes.data,
             concat.ctypes.data, len(blocks),
         )

@@ -151,6 +151,8 @@ class StreamingMonitor:
         """Queue every (not-yet-done) segment of a stream; returns the
         number of segments queued.  Non-blocking beyond the dispatch-depth
         cap; call `flush` (or `process`) to collect SegmentRecords.
+        ``st.data`` is consumed before this call returns (sub-batch
+        leftovers are snapshotted), so the caller may reuse its buffer.
 
         Multi-process (jax.distributed): every process must execute the
         same batches (the step and the final assembly are collectives),
@@ -176,33 +178,47 @@ class StreamingMonitor:
             return 0
         self._queued.update(t0 for _, t0 in todo)
 
-        # segments buffer as (stream-data, offset) references until a
+        # Segments buffer as (stream-data, offset) references until a
         # super-batch fills; the halo-extended batch tensor is cut lazily
         # at dispatch time (_extend_batch), so the host-side halo assembly
         # of batch k+1 overlaps the device compute of batch k instead of
         # serializing ahead of every dispatch.  Halos come from the raw
         # stream (zeros before sample 0), so non-contiguous resume batches
-        # stay exact; the caller must not mutate st.data before the next
-        # flush().  Every process sees the same todo (broadcast above), so
-        # batch boundaries are identical across processes.
+        # stay exact.  The references never outlive THIS call: the
+        # sub-batch remainder is snapshotted (pre-extended) before
+        # returning, so the caller may freely reuse/mutate its stream
+        # buffer between submits.  Every process sees the same todo
+        # (broadcast above), so batch boundaries are identical across
+        # processes.
         self._backlog.extend((st.data, off, t0) for off, t0 in todo)
         while len(self._backlog) >= self.batch:
             self._dispatch(self._backlog[: self.batch])
             del self._backlog[: self.batch]
             while len(self._inflight) > max(1, int(dispatch_depth)):
                 self._drain_oldest()
+        for i, (data, off, t0) in enumerate(self._backlog):
+            if off is not None:
+                row = self.pipe.extend_segments(data, [off])[0]
+                self._backlog[i] = (row, None, t0)
         return len(todo)
 
     def _extend_batch(self, items) -> np.ndarray:
         """Cut halo-extended rows for a dispatch batch, vectorized per
-        contiguous same-stream run (items are (data, offset, t0))."""
+        contiguous same-stream run.  Items are (data, offset, t0);
+        ``offset is None`` marks an already-extended row (the snapshotted
+        sub-batch remainder of a previous submit)."""
         outs = []
         i = 0
         while i < len(items):
-            data = items[i][0]
+            data, off, _ = items[i]
+            if off is None:
+                outs.append(data[None])
+                i += 1
+                continue
             j = i
             offs = []
-            while j < len(items) and items[j][0] is data:
+            while (j < len(items) and items[j][0] is data
+                   and items[j][1] is not None):
                 offs.append(items[j][1])
                 j += 1
             outs.append(self.pipe.extend_segments(data, offs))
@@ -424,22 +440,31 @@ class StreamingMonitor:
         if not extras:
             return vel, baz, mdccm, t, num_list
 
+        # materialize each sidecar's arrays ONCE (NpzFile decompresses on
+        # every __getitem__, so indexing inside the per-band loop would be
+        # O(B x nseg) full decompressions) and close the handles
         zs = []
         for n in names:
             p = os.path.join(self.save_dir, n + ".npz")
-            if os.path.exists(p):
-                zs.append(np.load(p, allow_pickle=False))
-            else:
+            if not os.path.exists(p):
                 logger.warning("segment %s has no .npz sidecar; extras "
                                "filled with NaN", n)
                 zs.append(None)
+                continue
+            with np.load(p, allow_pickle=False) as z:
+                zs.append({
+                    k: z[k] for k in
+                    ("sig_tau", "vel_uncert", "baz_uncert", "flags")
+                    if k in z
+                })
         sig_tau, vel_uncert, baz_uncert = (
             np.full((B, width), np.nan) for _ in range(3)
         )
         P = 0
         for z in zs:
-            if z is not None and "flags" in z and z["flags"].ndim == 3:
-                P = int(z["flags"].shape[-1])
+            f = None if z is None else z.get("flags")
+            if f is not None and f.ndim == 3:
+                P = int(f.shape[-1])
                 break
         flags = np.zeros((B, width, P), dtype=bool) if P else None
         for b in range(B):
@@ -447,7 +472,8 @@ class StreamingMonitor:
             for si, z in enumerate(zs):
                 n_seg = int(nums[si, b])
                 if z is not None:
-                    sig_tau[b, pos : pos + n_seg] = z["sig_tau"][b, :n_seg]
+                    if "sig_tau" in z:
+                        sig_tau[b, pos : pos + n_seg] = z["sig_tau"][b, :n_seg]
                     if "vel_uncert" in z:
                         vel_uncert[b, pos : pos + n_seg] = (
                             z["vel_uncert"][b, :n_seg]
@@ -455,10 +481,9 @@ class StreamingMonitor:
                         baz_uncert[b, pos : pos + n_seg] = (
                             z["baz_uncert"][b, :n_seg]
                         )
-                    if flags is not None and z["flags"].ndim == 3:
-                        flags[b, pos : pos + n_seg] = (
-                            z["flags"][b, :n_seg].astype(bool)
-                        )
+                    f = z.get("flags")
+                    if flags is not None and f is not None and f.ndim == 3:
+                        flags[b, pos : pos + n_seg] = f[b, :n_seg].astype(bool)
                 pos += n_seg
         ex = {"sig_tau": sig_tau, "vel_uncert": vel_uncert,
               "baz_uncert": baz_uncert}

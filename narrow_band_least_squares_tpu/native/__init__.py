@@ -54,12 +54,20 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
             ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_int64,
         ]
         # hot feed-path calls take raw addresses (c_void_p) so Python can
-        # pass ndarray.ctypes.data without building POINTER objects
-        lib.nbls_ring_append_batch.restype = ct.c_int64
-        lib.nbls_ring_append_batch.argtypes = [
-            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
-            ct.c_void_p, ct.c_int64,
-        ]
+        # pass ndarray.ctypes.data without building POINTER objects.
+        # Registered in its own guard: a pre-round-5 .so (when rebuild is
+        # unavailable) lacks the symbol, and failing here would leave
+        # every symbol after it without restype/argtypes (c_void_p
+        # handles truncated to 32-bit c_int — memory corruption, not a
+        # clean fallback).
+        try:
+            lib.nbls_ring_append_batch.restype = ct.c_int64
+            lib.nbls_ring_append_batch.argtypes = [
+                ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+                ct.c_void_p, ct.c_int64,
+            ]
+        except AttributeError:
+            pass
         lib.nbls_ring_base.restype = ct.c_int64
         lib.nbls_ring_base.argtypes = [ct.c_void_p]
         lib.nbls_ring_ready.restype = ct.c_int64

@@ -147,6 +147,50 @@ def test_overlapping_submit_no_duplicates(monitor_setup, tmp_path):
     assert len(files) == n
 
 
+def test_submit_snapshots_before_return(monitor_setup, tmp_path):
+    """The incremental API consumes st.data before submit() returns
+    (sub-batch leftovers are snapshotted), so a caller reusing one buffer
+    per feed chunk gets correct results — the review-found hazard of the
+    lazy-extension rework."""
+    st, mon, _ = monitor_setup
+    mon2 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path), mon.freqlist,
+        alpha=1.0, dispatch_segments=4,
+    )
+    # reference: the same per-segment feed with fresh (never mutated)
+    # arrays — isolates the snapshot question from halo semantics
+    mon3 = StreamingMonitor(
+        mon.plan, mon.pipe.base.rij, str(tmp_path / "ref"), mon.freqlist,
+        alpha=1.0, dispatch_segments=4,
+    )
+    Tseg = mon2.plan.npts
+    buf = np.empty((st.nchans, Tseg))
+    nseg = st.npts // Tseg
+    for k in range(nseg):
+        chunk = st.data[:, k * Tseg : (k + 1) * Tseg]
+        t0 = st.start_epoch + k * Tseg / st.fs
+        buf[:] = chunk
+        seg = type(st)(
+            data=buf, fs=st.fs, start_epoch=t0,
+            latitudes=st.latitudes, longitudes=st.longitudes,
+        )
+        mon2.submit(seg)
+        buf[:] = -1e9          # clobber: must not affect queued segments
+        mon3.submit(type(st)(
+            data=chunk.copy(), fs=st.fs, start_epoch=t0,
+            latitudes=st.latitudes, longitudes=st.longitudes,
+        ))
+    assert len(mon2.flush()) == nseg
+    assert len(mon3.flush()) == nseg
+    v3, b3, m3, t3, n3 = mon3.read_all()
+    v2, b2, m2, t2, n2 = mon2.read_all()
+    assert n3 == n2
+    # ArrayStream keeps float64 input by reference (np.asarray no-copy),
+    # so bitwise-equal results prove submit() snapshotted, not a cast copy
+    np.testing.assert_array_equal(v2, v3)
+    np.testing.assert_array_equal(m2, m3)
+
+
 def test_bfloat16_transfer_mode(monitor_setup, tmp_path):
     """transfer_dtype='bfloat16' (half the host->device bytes; the
     monitoring loop is transfer-bound through a remote tunnel) quantizes
