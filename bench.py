@@ -152,21 +152,6 @@ def cost_and_mfu(pipe, x, t_step):
     return out
 
 
-_XPLANE_PARSER = r"""
-import glob, json, sys
-from tensorflow.python.profiler.internal import _pywrap_profiler_plugin as pp
-xs = sorted(glob.glob(sys.argv[1] + "/plugins/profile/*/*.xplane.pb"))
-data, _ = pp.xspace_to_tools_data([xs[-1]], "op_profile", {})
-d = json.loads(data if isinstance(data, str) else bytes(data).decode())
-m = d["byCategoryExcludeIdle"]["metrics"]
-print(json.dumps({
-    "flops_frac": m.get("flops", 0.0),
-    "bw_utils": m.get("bandwidthUtils", []),
-    "raw_time_ps": m.get("rawTime", 0),
-    "raw_flops": m.get("rawFlops", 0),
-    "raw_bytes": m.get("rawBytesAccessedArray", []),
-}))
-"""
 
 
 def profile_measured(pipe, x, n_chain=30):
@@ -180,10 +165,7 @@ def profile_measured(pipe, x, n_chain=30):
     process.  Best-effort: returns {"error": ...} when profiling or
     parsing is unavailable.
     """
-    import glob
-    import json as _json
     import shutil
-    import subprocess
     import tempfile
 
     import jax
@@ -203,36 +185,31 @@ def profile_measured(pipe, x, n_chain=30):
     f = jax.jit(chained)
     d = tempfile.mkdtemp(prefix="nbls_prof_")
     try:
+        from narrow_band_least_squares_tpu.utils.profiling import (
+            op_profile_summary,
+        )
+
         jax.block_until_ready(f(x))          # warm outside the trace
         with jax.profiler.trace(d):
             jax.block_until_ready(f(x))
-        if not glob.glob(d + "/plugins/profile/*/*.xplane.pb"):
-            return {"error": "no xplane produced (profiler unsupported?)"}
-        proc = subprocess.run(
-            [sys.executable, "-c", _XPLANE_PARSER, d],
-            capture_output=True, text=True, timeout=300,
-        )
-        if proc.returncode != 0:
-            return {"error": f"xplane parse failed: {proc.stderr[-400:]}"}
-        m = _json.loads(proc.stdout.strip().splitlines()[-1])
-        busy_s = m["raw_time_ps"] * 1e-12
-        hbm_bytes = m["raw_bytes"][0] if m["raw_bytes"] else 0
+        p = op_profile_summary(d)
+        busy_s = p["device_busy_s"]
         out = {
             "source": "jax.profiler device trace -> TPU op_profile "
                       "(hardware counters; n_chain=%d)" % n_chain,
             # per-op hardware FLOP utilization as the profiler reports it;
             # matmul_precision='high' issues 3 bf16 passes per logical f32
             # matmul, so this sits ~3x above the logical MFU below
-            "hw_flop_util_pct": 100.0 * m["flops_frac"],
+            "hw_flop_util_pct": 100.0 * p["hw_flop_util"],
             "measured_hbm_util_pct": (
-                100.0 * m["bw_utils"][0] if m["bw_utils"] else None
+                100.0 * p["hbm_util"] if p["hbm_util"] is not None else None
             ),
             "device_busy_s_per_step": busy_s / n_chain,
-            "hbm_bytes_per_step": hbm_bytes / n_chain,
+            "hbm_bytes_per_step": p["hbm_bytes"] / n_chain,
         }
-        if busy_s > 0:
-            out["measured_hbm_gbps"] = hbm_bytes / busy_s / 1e9
-            out["measured_tflops_per_s"] = m["raw_flops"] / busy_s / 1e12
+        if "tflops" in p:
+            out["measured_hbm_gbps"] = p["hbm_gbps"]
+            out["measured_tflops_per_s"] = p["tflops"]
             kind = jax.devices()[0].device_kind.lower()
             peak = next(
                 (v for k, v in _PEAK_BF16_FLOPS.items() if k in kind), None
@@ -241,7 +218,7 @@ def profile_measured(pipe, x, n_chain=30):
                 # logical flops / bf16 peak: same definition as cost-model
                 # mfu_pct (raw_flops matches XLA's logical flop count)
                 out["measured_mfu_pct"] = (
-                    100.0 * m["raw_flops"] / busy_s / peak
+                    100.0 * p["tflops"] * 1e12 / peak
                 )
         return out
     except Exception as e:

@@ -5,6 +5,12 @@ echoes at example.py:29-31, BT warnings, per-band row counts).  Here:
 
 - `phase_timer`: wall-clock per-phase timers with a structured report,
 - `trace`: context manager around ``jax.profiler`` for TensorBoard traces,
+- `op_profile_summary`: hardware-counter roofline numbers (measured HBM
+  bytes/bandwidth utilization, FLOP utilization, device busy time) parsed
+  from a captured trace's xplane — the measurement bench.py's
+  ``profile_measured`` uses; XLA's static cost model over-reports HBM
+  traffic (a buffer is counted once per consuming fusion), so bandwidth
+  claims should come from here,
 - `RunSummary`: the per-run record (windows per band = the
   ``num_compute_list`` analog, solves/sec, device info) serializable to
   JSON for fleet monitoring.
@@ -73,6 +79,66 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# standalone so it can run via `python -c` in a subprocess: the xplane
+# parser lives in TensorFlow's profiler plugin, which must not load into
+# a process that owns TPU devices
+_XPLANE_PARSER = r"""
+import glob, json, sys
+from tensorflow.python.profiler.internal import _pywrap_profiler_plugin as pp
+xs = sorted(glob.glob(sys.argv[1] + "/plugins/profile/*/*.xplane.pb"))
+data, _ = pp.xspace_to_tools_data([xs[-1]], "op_profile", {})
+d = json.loads(data if isinstance(data, str) else bytes(data).decode())
+m = d["byCategoryExcludeIdle"]["metrics"]
+print(json.dumps({
+    "flops_frac": m.get("flops", 0.0),
+    "bw_utils": m.get("bandwidthUtils", []),
+    "raw_time_ps": m.get("rawTime", 0),
+    "raw_flops": m.get("rawFlops", 0),
+    "raw_bytes": m.get("rawBytesAccessedArray", []),
+}))
+"""
+
+
+def op_profile_summary(trace_dir: str, timeout: float = 300.0) -> Dict:
+    """Hardware-counter op-profile metrics of a captured device trace.
+
+    ``trace_dir`` is the directory passed to `trace` /
+    ``jax.profiler.trace``.  Returns measured (not cost-model) numbers:
+    ``hw_flop_util`` (time-weighted fraction of the device's FLOP issue
+    rate — counts every hardware pass, so ``matmul_precision='high'``'s
+    3 bf16 passes show up 3x), ``hbm_util`` (fraction of HBM bandwidth),
+    ``hbm_bytes`` (actual bytes moved), ``device_busy_s``, and
+    ``tflops`` (logical).  The xplane conversion runs in a subprocess so
+    TensorFlow never loads into the calling process.  Raises RuntimeError
+    when no xplane exists or the parser is unavailable.
+    """
+    import glob
+    import subprocess
+    import sys
+
+    if not glob.glob(trace_dir + "/plugins/profile/*/*.xplane.pb"):
+        raise RuntimeError(f"no xplane under {trace_dir}")
+    proc = subprocess.run(
+        [sys.executable, "-c", _XPLANE_PARSER, trace_dir],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"xplane parse failed: {proc.stderr[-400:]}")
+    m = json.loads(proc.stdout.strip().splitlines()[-1])
+    busy_s = m["raw_time_ps"] * 1e-12
+    hbm_bytes = m["raw_bytes"][0] if m["raw_bytes"] else 0
+    out = {
+        "hw_flop_util": m["flops_frac"],
+        "hbm_util": m["bw_utils"][0] if m["bw_utils"] else None,
+        "hbm_bytes": hbm_bytes,
+        "device_busy_s": busy_s,
+    }
+    if busy_s > 0:
+        out["hbm_gbps"] = hbm_bytes / busy_s / 1e9
+        out["tflops"] = m["raw_flops"] / busy_s / 1e12
+    return out
 
 
 @dataclass
