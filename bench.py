@@ -169,20 +169,8 @@ def profile_measured(pipe, x, n_chain=30):
     import tempfile
 
     import jax
-    import jax.numpy as jnp
 
-    step = pipe._make_step()
-
-    def chained(x):
-        def body(i, carry):
-            x, acc = carry
-            out = step(x + acc * 1e-20)
-            return (x, acc + jnp.sum(out["vel"]))
-
-        _, acc = jax.lax.fori_loop(0, n_chain, body, (x, jnp.float32(0)))
-        return acc
-
-    f = jax.jit(chained)
+    f = _chained_fn(pipe, n_chain)
     d = tempfile.mkdtemp(prefix="nbls_prof_")
     try:
         from narrow_band_least_squares_tpu.utils.profiling import (
@@ -227,11 +215,10 @@ def profile_measured(pipe, x, n_chain=30):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def bench_chained(pipe, x, n_chain=10, repeats=5):
-    """Min of `repeats` timings of `n_chain` serialized steps in one jit,
-    divided by n_chain.  NOTE: includes the per-invocation host->device
-    round trip / n_chain (~20 ms through the axon tunnel — 2 ms/step at
-    n_chain=10); `bench_chained_fitted` removes it."""
+def _chained_fn(pipe, n_chain):
+    """n serialized steps in one jit with a data dependency (the acc*1e-20
+    term defeats DCE/CSE without perturbing results).  Shared by the
+    timing and profiling harnesses so they always run the SAME program."""
     import jax
     import jax.numpy as jnp
 
@@ -246,7 +233,17 @@ def bench_chained(pipe, x, n_chain=10, repeats=5):
         _, acc = jax.lax.fori_loop(0, n_chain, body, (x, jnp.float32(0)))
         return acc
 
-    f = jax.jit(chained)
+    return jax.jit(chained)
+
+
+def bench_chained(pipe, x, n_chain=10, repeats=5):
+    """Min of `repeats` timings of `n_chain` serialized steps in one jit,
+    divided by n_chain.  NOTE: includes the per-invocation host->device
+    round trip / n_chain (~20 ms through the axon tunnel — 2 ms/step at
+    n_chain=10); `bench_chained_fitted` removes it."""
+    import jax
+
+    f = _chained_fn(pipe, n_chain)
     y = f(x)
     jax.block_until_ready(y)
     ts = []

@@ -29,6 +29,7 @@ with the same water-level frequency-domain division as the FDSN path
 
 from __future__ import annotations
 
+import os
 import socket
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -309,9 +310,11 @@ def _load_responses(
     from narrow_band_least_squares_tpu.io.response import parse_stationxml
 
     if response_xml:
-        text = response_xml
-        if "<" not in response_xml:  # a path, not XML text
-            with open(response_xml, "r") as f:
+        text = os.fspath(response_xml) if not isinstance(
+            response_xml, str
+        ) else response_xml
+        if "<" not in text:  # a path (str or PathLike), not XML text
+            with open(text, "r") as f:
                 text = f.read()
         return parse_stationxml(text)
     if metadata_source:

@@ -293,10 +293,11 @@ class RingBuffer:
             for c, s, x in zip(chans, starts, blocks):
                 self.append(c, s, x)
             return
-        lens = np.fromiter((len(b) for b in blocks), np.int64, len(blocks))
-        concat = np.concatenate(
-            [np.asarray(b, dtype=np.float64).ravel() for b in blocks]
-        )
+        # sizes must match the raveled payload exactly (len() of a 2-D
+        # block would desync every subsequent record's offset)
+        arrs = [np.asarray(b, dtype=np.float64).ravel() for b in blocks]
+        lens = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+        concat = np.concatenate(arrs)
         ch = np.asarray(chans, dtype=np.int64)
         st = np.asarray(starts, dtype=np.int64)
         got = batch_fn(

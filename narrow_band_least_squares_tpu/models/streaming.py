@@ -196,10 +196,12 @@ class StreamingMonitor:
             del self._backlog[: self.batch]
             while len(self._inflight) > max(1, int(dispatch_depth)):
                 self._drain_oldest()
-        for i, (data, off, t0) in enumerate(self._backlog):
-            if off is not None:
-                row = self.pipe.extend_segments(data, [off])[0]
-                self._backlog[i] = (row, None, t0)
+        refs = [(i, it) for i, it in enumerate(self._backlog)
+                if it[1] is not None]
+        if refs:
+            rows = self._extend_batch([it for _, it in refs])
+            for (i, it), row in zip(refs, rows):
+                self._backlog[i] = (row, None, it[2])
         return len(todo)
 
     def _extend_batch(self, items) -> np.ndarray:
