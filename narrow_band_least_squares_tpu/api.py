@@ -52,6 +52,7 @@ __all__ = [
     "narrow_band_least_squares",
     "narrow_band_least_squares_parallel",
     "set_performance_defaults",
+    "PRODUCTION_DEFAULTS",
 ]
 
 
@@ -60,6 +61,21 @@ import functools
 # TPU performance overrides applied to every pipeline this parity surface
 # constructs (see set_performance_defaults).
 _PERF_DEFAULTS: dict = {}
+
+# The measured production profile: every knob here has a published
+# accuracy envelope (confident-window deviations) in the BENCH_*.json
+# records — `set_performance_defaults(**PRODUCTION_DEFAULTS)` turns it on
+# for the whole reference-parity surface.
+#   band_limit_db='auto'  : passband-bin xcorr, BT-sweep-calibrated
+#                           threshold (BENCH_BANDLIMIT.json bt_sweep)
+#   lts_funnel_k='auto'   : FAST-LTS funnel, max(16, ceil(Q/24))
+#                           (BENCH_LTS_FUNNEL.json conf columns)
+# v5e: canonical OLS 2.3 -> 1.5 ms, LTS 5.7 -> 3.2 ms, dense50 LTS
+# 55.9 -> 26.7 ms.
+PRODUCTION_DEFAULTS = {
+    "band_limit_db": "auto",
+    "lts_funnel_k": "auto",
+}
 
 
 def set_performance_defaults(**kwargs) -> dict:

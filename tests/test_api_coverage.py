@@ -198,6 +198,33 @@ class TestNarrowBandLoop:
         assert same >= 0.8 * len(full_stdict)
 
 
+class TestProductionDefaults:
+    def test_profile_applies_and_restores(self, small_stream):
+        """api.PRODUCTION_DEFAULTS turns on the measured production knobs
+        for the whole parity surface and restores cleanly."""
+        st = small_stream
+        freqlist, nbands, _ = get_freqlist(0.3, 1.2, "log", 2)
+        winlens = get_winlenlist("constant", nbands, 30, 0, 0)
+        base = _run_api(st, freqlist, nbands, winlens, "log", alpha=0.75)
+        prev = api.set_performance_defaults(**api.PRODUCTION_DEFAULTS)
+        try:
+            prod = _run_api(st, freqlist, nbands, winlens, "log", alpha=0.75)
+        finally:
+            api.set_performance_defaults(
+                **{k: prev.get(k) for k in api.PRODUCTION_DEFAULTS}
+            )
+        # confident-window results stay inside the published envelopes
+        num = base[6]
+        for b in range(nbands):
+            n = num[b]
+            good = base[2][b, :n] > 0.6
+            dv = np.abs(base[0][b, :n][good] - prod[0][b, :n][good])
+            assert dv.max() < 0.01
+        # restored: next run matches the exact baseline bitwise
+        back = _run_api(st, freqlist, nbands, winlens, "log", alpha=0.75)
+        np.testing.assert_array_equal(base[0], back[0])
+
+
 class TestConfig:
     def test_json_roundtrip(self, tmp_path):
         cfg = NBLSConfig(ALPHA=0.8, NBANDS=12, FREQ_BAND_TYPE="octave_linear")
