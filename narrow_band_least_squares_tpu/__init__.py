@@ -37,6 +37,8 @@ _API_NAMES = (
     "ltsva",
     "narrow_band_least_squares",
     "narrow_band_least_squares_parallel",
+    "set_performance_defaults",
+    "PRODUCTION_DEFAULTS",
 )
 
 
@@ -64,4 +66,6 @@ __all__ = [
     "ltsva",
     "narrow_band_least_squares",
     "narrow_band_least_squares_parallel",
+    "set_performance_defaults",
+    "PRODUCTION_DEFAULTS",
 ]
