@@ -131,9 +131,10 @@ def test_optimized_options_match_individual(arrays):
         dict(alpha=1.0, max_lag_s=8.0, subsample_delays=True),
         dict(alpha=0.75, window_method="gather", bucket_bands=False,
              lts_funnel_k=4),
+        dict(alpha=0.75, lts_funnel_k="auto", band_limit_db="auto"),
     ],
     ids=["maxlag", "funnel", "funnel-subsamp", "ols-maxlag-subsamp",
-         "gather-nobucket"],
+         "gather-nobucket", "production-auto"],
 )
 def test_perf_option_combos_match_individual(arrays, kw):
     """Merged multi-array == per-array pipeline under every perf-option
