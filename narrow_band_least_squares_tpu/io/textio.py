@@ -36,18 +36,25 @@ def write_txtfile(
     ``Fmin Fmax Time Trace_vel Backaz MdCCM``.  Uses the C++ codec
     (native/textio.cpp) when built — the Python row loop dominates host
     time at monitoring scale — with identical bytes either way.
+
+    Written ATOMICALLY (temp file + ``os.replace``): the monitor's
+    resume scan treats an existing .txt as segment-complete, so a
+    process dying mid-write must never leave a truncated file that
+    would be skipped forever with partial data.
     """
     os.makedirs(save_dir or ".", exist_ok=True)
     path = os.path.join(save_dir, fname + ".txt")
+    tmp = path + ".tmp"
 
     if use_native and not verbose:
         out = _write_native(
-            path, vel_array, baz_array, mdccm_array, t_array,
+            tmp, vel_array, baz_array, mdccm_array, t_array,
             freqlist, num_compute_list,
         )
         if out:
-            return out
-    with open(path, "w") as f:
+            os.replace(tmp, path)
+            return path
+    with open(tmp, "w") as f:
         f.write("Fmin \t Fmax \t Time \t Trace_vel \t Backaz \t MdCCM \n")
         for ii in range(len(num_compute_list)):
             if verbose:
@@ -58,6 +65,7 @@ def write_txtfile(
                     + str(t_array[ii, jj]) + "\t" + str(vel_array[ii, jj]) + "\t"
                     + str(baz_array[ii, jj]) + "\t" + str(mdccm_array[ii, jj]) + "\n"
                 )
+    os.replace(tmp, path)
     return path
 
 

@@ -388,19 +388,26 @@ class StreamingMonitor:
 
     def _write(self, vel, baz, mdccm, sig_tau, t_array, flags,
                t0: float, vel_uncert=None, baz_uncert=None) -> SegmentRecord:
+        """Persist one segment: npz sidecar first (atomic), TSV last
+        (atomic, io.textio) — the resume scan keys on the .txt, so its
+        existence must imply the WHOLE segment is on disk; a process
+        dying anywhere in here leaves at most a .tmp file and the
+        segment is re-selected on the next submit."""
         name = self._seg_name(t0)
-        path_txt = write_txtfile(
-            self.save_dir, name, vel, baz, mdccm, t_array,
-            self.freqlist, self.plan.num_compute_list,
-        )
         path_npz = os.path.join(self.save_dir, name + ".npz")
         extra = {}
         if vel_uncert is not None:
             extra = {"vel_uncert": vel_uncert, "baz_uncert": baz_uncert}
+        tmp_npz = path_npz + ".tmp.npz"   # np.savez appends .npz to bare tmp
         np.savez_compressed(
-            path_npz, vel=vel, baz=baz, mdccm=mdccm, sig_tau=sig_tau,
+            tmp_npz, vel=vel, baz=baz, mdccm=mdccm, sig_tau=sig_tau,
             t=t_array, flags=(flags if flags is not None else np.zeros(0)),
             num_compute=np.asarray(self.plan.num_compute_list), **extra,
+        )
+        os.replace(tmp_npz, path_npz)
+        path_txt = write_txtfile(
+            self.save_dir, name, vel, baz, mdccm, t_array,
+            self.freqlist, self.plan.num_compute_list,
         )
         return SegmentRecord(t0, path_txt, path_npz)
 

@@ -46,6 +46,33 @@ def test_process_and_resume(monitor_setup):
     assert abs(recs3[0].start_epoch - recs[2].start_epoch) < 1e-6
 
 
+def test_atomic_persist_and_stray_tmp_files(monitor_setup):
+    """Persistence is atomic (temp + os.replace; npz before txt), so a
+    crash mid-write leaves only *.tmp debris: the resume scan and
+    read_all must ignore it, and a segment with no final .txt is
+    re-selected."""
+    st, mon, save_dir = monitor_setup
+    mon.process(st)
+    before = mon.read_all()
+    # simulate interrupted-write debris
+    for junk in ("nbls_999.txt.tmp", "nbls_999.npz.tmp.npz"):
+        with open(os.path.join(save_dir, junk), "w") as f:
+            f.write("partial")
+    try:
+        assert mon.process(st) == []          # resume unaffected
+        after = mon.read_all()
+        np.testing.assert_array_equal(before[0], after[0])
+        # no .tmp left behind by the real writer
+        assert not any(
+            f.endswith(".tmp") or f.endswith(".tmp.npz")
+            for f in os.listdir(save_dir)
+            if not f.startswith("nbls_999")
+        )
+    finally:
+        for junk in ("nbls_999.txt.tmp", "nbls_999.npz.tmp.npz"):
+            os.remove(os.path.join(save_dir, junk))
+
+
 def test_read_all_assembles(monitor_setup):
     st, mon, save_dir = monitor_setup
     mon.process(st)
