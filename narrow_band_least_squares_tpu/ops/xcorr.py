@@ -198,8 +198,12 @@ def cross_correlate_mxu(
     (``best_idx == t0 - 1`` identifies exactly the carried-over case).
     Global-boundary peaks (k = 0 or nlag-1) take frac = 0, same as the
     untiled path, so their placeholder neighbors are never consumed.
-    Bit-identical to the untiled subsample path (the per-tile cc columns
-    are the same contractions at the same precision).
+    Measured on v5e (canonical workload): tau — integer peak AND
+    parabolic frac — is BITWISE identical to the untiled subsample path
+    (the per-tile cc columns are the same contractions at the same
+    precision); mdccm/sig_tau can differ by 1 ulp (~1e-7) because XLA
+    fuses the rho normalization into a different context per program
+    shape.
     """
     B, W, C, Lmax = win.shape
     energy = jnp.sum(win * win, axis=-1)
